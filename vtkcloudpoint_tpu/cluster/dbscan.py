@@ -1,0 +1,138 @@
+"""DBSCAN as data-parallel label propagation (TPU-native).
+
+The reference clusters with a sequential BFS (DBImproved.cs:56-114). On TPU we
+reformulate it as fixpoint label propagation + pointer jumping, which is
+embarrassingly parallel and converges in O(log diameter) sweeps -- then a
+deterministic renumbering pass reproduces the reference's exact ID assignment
+(SURVEY.md §7 L3 hard part (a)).
+
+Reference-ID-compatibility contract (derived from DBImproved.cs semantics,
+validated against the sequential oracle in tests/test_dbscan.py):
+
+1. A point is core iff its eps-neighborhood count (INCLUDING itself,
+   DBImproved.cs:37-47) is >= minPts.
+2. Core points within eps of each other are one cluster (BFS closure).
+3. Cluster ids are assigned in scan order of each component's first core
+   point, starting at cf+1 (DBImproved.cs:107: ``cf++`` at each new seed).
+4. A non-core point within eps of cores from several clusters ends with the
+   LARGEST such cluster id: expandCluster unconditionally overwrites
+   clusterId for every touched neighbor (DBImproved.cs:87), and clusters
+   expand in ascending id order, so the last writer has the max id.
+5. Points in no core's neighborhood keep label 0 (noise).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.metrics import pairwise
+
+
+def _min_label_fixpoint(core_adj, core, max_iters: int):
+    """Min-index label propagation with pointer jumping over the core graph.
+
+    core_adj: [n, n] bool, symmetric, core-core eps-adjacency.
+    Returns root[i] = min point index in i's core component (n for non-core).
+    """
+    n = core.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    inf = jnp.int32(n)
+    lab0 = jnp.where(core, idx, inf)
+
+    def body(state):
+        lab, _, it = state
+        # sweep: min over core neighbors' labels
+        nbr = jnp.where(core_adj, lab[None, :], inf)
+        new = jnp.minimum(lab, jnp.min(nbr, axis=1))
+        # pointer jump: follow the label chain one hop (log-time shortcut)
+        jumped = new[jnp.clip(new, 0, n - 1)]
+        new = jnp.where(new < inf, jnp.minimum(new, jumped), inf)
+        return new, jnp.any(new != lab), it + 1
+
+    def cond(state):
+        return state[1] & (state[2] < max_iters)
+
+    lab, _, _ = jax.lax.while_loop(
+        cond, body, (lab0, jnp.array(True), jnp.int32(0))
+    )
+    return lab
+
+
+def dbscan_padded(
+    coords: jax.Array,
+    valid: jax.Array,
+    eps: float,
+    min_pts: int,
+    metric: str = "l1_motor",
+    cf=0,
+    max_iters: int = 64,
+):
+    """DBSCAN over one padded point block.
+
+    Args:
+      coords: [cap, D] metric coordinates (see ops.metrics.coords_for_metric).
+      valid:  [cap] bool padding mask.
+      cf:     starting cluster-id seed (reference DBImproved.cf,
+              FrmMain.cs:1509 continued numbering).
+
+    Returns dict with:
+      label      i32[cap]  cluster ids (cf+1..cf+k), 0 noise/invalid
+      n_clusters i32[]     number of clusters created
+      core       bool[cap]
+    """
+    cap = coords.shape[0]
+    dist = pairwise(coords, coords, metric)
+    adj = (dist <= eps) & valid[None, :] & valid[:, None]
+    counts = jnp.sum(adj, axis=1, dtype=jnp.int32)
+    core = (counts >= min_pts) & valid
+
+    core_adj = adj & core[None, :] & core[:, None]
+    root = _min_label_fixpoint(core_adj, core, max_iters)
+
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    is_root = core & (root == idx)
+    # scan-order rank of each component root, 1-based
+    rank = jnp.cumsum(is_root.astype(jnp.int32))
+    core_id = jnp.where(core, cf + rank[jnp.clip(root, 0, cap - 1)], 0)
+
+    # border points: max id over adjacent cores (rule 4)
+    border_src = jnp.where(adj & core[None, :], core_id[None, :], 0)
+    border_id = jnp.max(border_src, axis=1)
+
+    label = jnp.where(core, core_id, jnp.where(valid, border_id, 0)).astype(jnp.int32)
+    return {
+        "label": label,
+        "n_clusters": jnp.sum(is_root.astype(jnp.int32)),
+        "core": core,
+    }
+
+
+@partial(jax.jit, static_argnames=("eps", "min_pts", "metric", "max_iters", "chunk"))
+def dbscan_blocks(
+    coords: jax.Array,
+    valid: jax.Array,
+    eps: float,
+    min_pts: int,
+    metric: str = "l1_motor",
+    max_iters: int = 64,
+    chunk: int = 64,
+):
+    """Run DBSCAN independently over B padded blocks.
+
+    TPU-native analog of the reference's per-cell ThreadPool fan-out
+    (FrmMain.cs:1340-1361, StartCode :2782-2794): each block clusters with
+    local ids 1..k_b; the cross-block merge assigns global ids (fusion.py).
+
+    coords: [B, cap, D]; valid: [B, cap]. Processed in chunks of ``chunk``
+    blocks to bound the [chunk, cap, cap] adjacency working set.
+    """
+
+    def one(args):
+        c, v = args
+        out = dbscan_padded(c, v, eps, min_pts, metric, 0, max_iters)
+        return out["label"], out["n_clusters"], out["core"]
+
+    labels, counts, cores = jax.lax.map(one, (coords, valid), batch_size=chunk)
+    return {"label": labels, "n_clusters": counts, "core": cores}
