@@ -1,0 +1,259 @@
+"""Cluster shape analytics: convex hull, minimal enclosing circle, min-area
+bounding rectangle.
+
+TPU-native equivalents of reference Geometry.cs / Polygon.cs:
+- hull: gift wrapping with the reference's pseudo-angle ordering
+  (Geometry.cs:122-246, AngleValue :210-246), vectorized as a lax.scan over a
+  fixed max hull size with argmin sweeps over all cluster points.
+- minimal enclosing circle: brute force over hull point pairs and triples
+  with containment check (Geometry.cs:247-337). The MEC is unique, so this
+  matches the reference output to float tolerance; degenerate triples produce
+  inf radius and drop out exactly like the reference's parallel-line case
+  (Geometry.cs:393-404 -- double division yields inf, never the catch).
+- min-area rectangle: per-hull-edge projection sweep, equivalent to rotating
+  calipers (Polygon.cs:360-702, bestLen0/bestLen1 side lengths for the
+  README's aspect-ratio rejection).
+
+All functions take a padded point block [cap, 2] + valid mask and are designed
+to be vmapped over a cluster table (see ops.segment.bucket_by_cluster).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e30
+
+
+def pseudo_angle(x1, y1, x2, y2):
+    """Reference AngleValue (Geometry.cs:210-246): monotone angle surrogate
+    t*90 in [0, 360); identical points map to 40 (= 360/9)."""
+    dx = x2 - x1
+    dy = y2 - y1
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy)
+    denom = ax + ay
+    t = jnp.where(denom == 0, 360.0 / 9.0, dy / jnp.where(denom == 0, 1.0, denom))
+    t = jnp.where(denom == 0, t, jnp.where(dx < 0, 2.0 - t, jnp.where(dy < 0, 4.0 + t, t)))
+    return t * 90.0
+
+
+def convex_hull(pts, valid, max_hull: int = 64):
+    """Gift-wrapping hull of a padded 2D point block.
+
+    Returns (hull_pts [max_hull, 2], hull_valid [max_hull]). Hull vertex 0 is
+    the lowest-y (then lowest-x) point, per Geometry.cs:128-150; subsequent
+    vertices follow the reference's min-pseudo-angle sweep. Points already on
+    the hull are masked out (the reference removes them from its working
+    list). If the true hull has more than max_hull vertices the result is
+    truncated (callers size max_hull for their data).
+    """
+    cap = pts.shape[0]
+    x = pts[:, 0]
+    y = pts[:, 1]
+    # start: min (y, x) among valid
+    key = jnp.where(valid, y, BIG) * 1.0
+    # lexicographic (y, x): use tuple trick via argmin over (y, then x)
+    ymin = jnp.min(jnp.where(valid, y, BIG))
+    cand = valid & (y == ymin)
+    start = jnp.argmin(jnp.where(cand, x, BIG))
+
+    def step(carry, _):
+        cur, sweep, picked, done = carry
+        cx = x[cur]
+        cy = y[cur]
+        ang = pseudo_angle(cx, cy, x, y)
+        ok = valid & ~picked & (ang >= sweep)
+        # strict improvement scan order: first index among minimal angle
+        best_key = jnp.where(ok, ang, BIG)
+        best = jnp.argmin(best_key)
+        best_angle = best_key[best]
+        first_angle = pseudo_angle(cx, cy, x[start], y[start])
+        finish = (first_angle >= sweep) & (best_angle >= first_angle)
+        finish = finish | (best_angle >= BIG)
+        new_done = done | finish
+        emit = ~new_done
+        new_cur = jnp.where(emit, best, cur)
+        new_sweep = jnp.where(emit, best_angle, sweep)
+        new_picked = picked.at[best].set(picked[best] | emit)
+        out_idx = jnp.where(emit, best, -1)
+        return (new_cur, new_sweep, new_picked, new_done), out_idx
+
+    picked0 = jnp.zeros(cap, bool).at[start].set(True)
+    (_, _, _, _), out = jax.lax.scan(
+        step, (start, 0.0, picked0, ~jnp.any(valid)), None, length=max_hull - 1
+    )
+    hull_idx = jnp.concatenate([start[None].astype(jnp.int32), out.astype(jnp.int32)])
+    hull_valid = hull_idx >= 0
+    hull_valid = hull_valid & jnp.concatenate([jnp.any(valid)[None], jnp.ones(max_hull - 1, bool)])
+    safe = jnp.clip(hull_idx, 0, cap - 1)
+    hull_pts = jnp.stack([x[safe], y[safe]], axis=-1)
+    return hull_pts, hull_valid
+
+
+def _circumcircle(a, b, c):
+    """Circumcenter via perpendicular-bisector intersection, matching
+    Geometry.cs:340-432 (degenerate -> inf center -> inf radius2)."""
+    x1 = (b[..., 0] + a[..., 0]) / 2
+    y1 = (b[..., 1] + a[..., 1]) / 2
+    dy1 = b[..., 0] - a[..., 0]
+    dx1 = -(b[..., 1] - a[..., 1])
+    x2 = (c[..., 0] + b[..., 0]) / 2
+    y2 = (c[..., 1] + b[..., 1]) / 2
+    dy2 = c[..., 0] - b[..., 0]
+    dx2 = -(c[..., 1] - b[..., 1])
+    denom = dy1 * dx2 - dx1 * dy2
+    t1 = ((x1 - x2) * dy2 + (y2 - y1) * dx2) / denom  # inf when parallel
+    cx = x1 + dx1 * t1
+    cy = y1 + dy1 * t1
+    r2 = (cx - a[..., 0]) ** 2 + (cy - a[..., 1]) ** 2
+    return cx, cy, r2
+
+
+def min_enclosing_circle(hull_pts, hull_valid):
+    """Minimal enclosing circle from hull points (center, radius).
+
+    Brute force over hull pairs and triples + containment, per
+    Geometry.cs:247-337. Returns (cx, cy, radius); radius 0 when fewer than
+    2 valid hull points (reference returns radius 0 on no solution).
+    """
+    h = hull_pts.shape[0]
+    px = jnp.where(hull_valid, hull_pts[:, 0], BIG)
+    py = jnp.where(hull_valid, hull_pts[:, 1], BIG)
+    pts = jnp.stack([px, py], axis=-1)
+
+    def encloses(cx, cy, r2, skip):
+        # Containment over valid hull points with the candidate's OWN defining
+        # points excluded, exactly like the reference (CircleEnclosesPoints
+        # skip1/skip2/skip3, Geometry.cs:322-337). Skipping the defining
+        # points is what makes the exact <= comparison robust: they sit on
+        # the circle and may round marginally outside.
+        d2 = (cx[..., None] - px) ** 2 + (cy[..., None] - py) ** 2
+        inside = (d2 <= r2[..., None]) | ~hull_valid | skip
+        return jnp.all(inside, axis=-1)
+
+    ar = jnp.arange(h)
+    # pairs
+    cx2 = (px[:, None] + px[None, :]) / 2
+    cy2 = (py[:, None] + py[None, :]) / 2
+    r2_2 = (cx2 - px[:, None]) ** 2 + (cy2 - py[:, None]) ** 2
+    pair_ok = (
+        hull_valid[:, None]
+        & hull_valid[None, :]
+        & (jnp.arange(h)[:, None] < jnp.arange(h)[None, :])
+    )
+    pair_skip = (ar[None, None, :] == ar[:, None, None]) | (
+        ar[None, None, :] == ar[None, :, None]
+    )
+    pair_enc = encloses(cx2, cy2, r2_2, pair_skip) & pair_ok
+    pair_r2 = jnp.where(pair_enc, r2_2, BIG)
+    i2 = jnp.argmin(pair_r2.reshape(-1))
+    best_pair_r2 = pair_r2.reshape(-1)[i2]
+
+    # triples
+    ii, jj, kk = jnp.meshgrid(
+        jnp.arange(h), jnp.arange(h), jnp.arange(h), indexing="ij"
+    )
+    trip_ok = (
+        (ii < jj)
+        & (jj < kk)
+        & hull_valid[ii]
+        & hull_valid[jj]
+        & hull_valid[kk]
+    )
+    cx3, cy3, r2_3 = _circumcircle(pts[ii], pts[jj], pts[kk])
+    r2_3 = jnp.where(jnp.isfinite(r2_3), r2_3, BIG)
+    trip_skip = (
+        (ar[None, None, None, :] == ii[..., None])
+        | (ar[None, None, None, :] == jj[..., None])
+        | (ar[None, None, None, :] == kk[..., None])
+    )
+    trip_enc = encloses(cx3, cy3, r2_3, trip_skip) & trip_ok
+    trip_r2 = jnp.where(trip_enc, r2_3, BIG)
+    i3 = jnp.argmin(trip_r2.reshape(-1))
+    best_trip_r2 = trip_r2.reshape(-1)[i3]
+
+    use_trip = best_trip_r2 < best_pair_r2
+    best_r2 = jnp.where(use_trip, best_trip_r2, best_pair_r2)
+    bcx = jnp.where(use_trip, cx3.reshape(-1)[i3], cx2.reshape(-1)[i2])
+    bcy = jnp.where(use_trip, cy3.reshape(-1)[i3], cy2.reshape(-1)[i2])
+    none_found = best_r2 >= BIG
+    radius = jnp.where(none_found, 0.0, jnp.sqrt(jnp.maximum(best_r2, 0.0)))
+    bcx = jnp.where(none_found, hull_pts[0, 0], bcx)
+    bcy = jnp.where(none_found, hull_pts[0, 1], bcy)
+    return bcx, bcy, radius
+
+
+def min_area_rect(hull_pts, hull_valid):
+    """Smallest enclosing rectangle side lengths (len0 >= len1) + area.
+
+    Rotating-calipers equivalent (Polygon.cs:360-702): for each hull edge,
+    project hull points on the edge direction and its normal; the smallest
+    (extent_u * extent_v) over edges is the min-area rectangle.
+    """
+    h = hull_pts.shape[0]
+    nxt_idx = jnp.arange(1, h + 1) % h
+    # next valid wraps to vertex 0: roll valid hull points
+    last = jnp.maximum(jnp.sum(hull_valid.astype(jnp.int32)) - 1, 0)
+    nxt = jnp.where(jnp.arange(h) == last, 0, jnp.minimum(nxt_idx, last))
+    e = hull_pts[nxt] - hull_pts
+    elen = jnp.sqrt(jnp.sum(e * e, axis=-1))
+    edge_ok = hull_valid & (elen > 0)
+    u = e / jnp.maximum(elen, 1e-300)[:, None]
+    v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
+    pu = hull_pts @ u.T  # [h_pts proj, h_edges] -> careful: [h,2]@[2,h]
+    pv = hull_pts @ v.T
+    mask = hull_valid[:, None]
+    ext_u = jnp.max(jnp.where(mask, pu, -BIG), axis=0) - jnp.min(
+        jnp.where(mask, pu, BIG), axis=0
+    )
+    ext_v = jnp.max(jnp.where(mask, pv, -BIG), axis=0) - jnp.min(
+        jnp.where(mask, pv, BIG), axis=0
+    )
+    area = jnp.where(edge_ok, ext_u * ext_v, BIG)
+    best = jnp.argmin(area)
+    l0 = ext_u[best]
+    l1 = ext_v[best]
+    len_long = jnp.maximum(l0, l1)
+    len_short = jnp.minimum(l0, l1)
+    ok = area[best] < BIG
+    return (
+        jnp.where(ok, len_long, 0.0),
+        jnp.where(ok, len_short, 0.0),
+        jnp.where(ok, area[best], 0.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("max_hull", "min_points"))
+def cluster_shapes(points, valid, counts, max_hull: int = 64, min_points: int = 4):
+    """Hull + MEC + min-rect for a batch of padded clusters.
+
+    points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.
+    Clusters with count < min_points get radius 0 (reference skips circles
+    for clusters <= 3 points, Tools.cs:400-401).
+
+    Returns dict of [K]-shaped circle centers/radii and rect side lengths.
+    """
+
+    def one(p, v):
+        hp, hv = convex_hull(p, v, max_hull)
+        cx, cy, r = min_enclosing_circle(hp, hv)
+        l0, l1, area = min_area_rect(hp, hv)
+        return cx, cy, r, l0, l1, area
+
+    cx, cy, r, l0, l1, area = jax.vmap(one)(points, valid)
+    skip = counts < min_points
+    zero = jnp.zeros_like(r)
+    return {
+        "center_x": cx,
+        "center_y": cy,
+        "radius": jnp.where(skip, zero, r),
+        "rect_len0": jnp.where(skip, zero, l0),
+        "rect_len1": jnp.where(skip, zero, l1),
+        "rect_area": jnp.where(skip, zero, area),
+        "aspect": jnp.where(
+            skip | (l1 <= 0), zero, l0 / jnp.maximum(l1, 1e-300)
+        ),
+    }
