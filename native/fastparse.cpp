@@ -1,0 +1,144 @@
+// Fast mmap'd scan-file parser.
+//
+// Native equivalent of the reference's Win32 memory-mapped reader
+// (FileMap.ReadFileMap, FileMap.cs:137-200) + the per-line split/parse loop
+// (FrmMain.cs:991-1010): mmap the whole file, split into chunks on line
+// boundaries, and parse "motor_x <sep> motor_y <sep> distance" rows with a
+// thread pool. Exposed to Python through ctypes (io/loaders.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libfastparse.so fastparse.cpp -lpthread
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cctype>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// strtod-free fast float parse (handles +-, decimals, exponents)
+static inline const char* parse_double(const char* p, const char* end, double* out) {
+    while (p < end && (*p == ' ' || *p == '\t' || *p == ',' || *p == ';')) ++p;
+    if (p >= end) return nullptr;
+    bool neg = false;
+    if (*p == '-') { neg = true; ++p; }
+    else if (*p == '+') ++p;
+    double v = 0.0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') { v = v * 10.0 + (*p - '0'); ++p; any = true; }
+    if (p < end && *p == '.') {
+        ++p;
+        double scale = 0.1;
+        while (p < end && *p >= '0' && *p <= '9') { v += (*p - '0') * scale; scale *= 0.1; ++p; any = true; }
+    }
+    if (!any) return nullptr;
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        ++p;
+        bool eneg = false;
+        if (p < end && (*p == '-' || *p == '+')) { eneg = (*p == '-'); ++p; }
+        int ex = 0;
+        while (p < end && *p >= '0' && *p <= '9') { ex = ex * 10 + (*p - '0'); ++p; }
+        double f = 1.0;
+        while (ex--) f *= 10.0;
+        v = eneg ? v / f : v * f;
+    }
+    *out = neg ? -v : v;
+    return p;
+}
+
+struct ChunkResult {
+    std::vector<double> rows;  // flattened triples
+};
+
+static void parse_chunk(const char* begin, const char* end, ChunkResult* res) {
+    res->rows.reserve(4096 * 3);
+    const char* p = begin;
+    while (p < end) {
+        const char* line_end = static_cast<const char*>(memchr(p, '\n', end - p));
+        if (!line_end) line_end = end;
+        double a, b, c;
+        const char* q = parse_double(p, line_end, &a);
+        if (q) q = parse_double(q, line_end, &b);
+        if (q) q = parse_double(q, line_end, &c);
+        if (q) {
+            res->rows.push_back(a);
+            res->rows.push_back(b);
+            res->rows.push_back(c);
+        }
+        p = line_end + 1;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse a 3-column text file into out[max_rows*3]. Returns row count,
+// -1 on open failure, -2 if the file holds more than max_rows rows
+// (nothing written in that case beyond capacity; count is still returned
+// negative to signal truncation would occur).
+long fastparse_xyz(const char* path, double* out, long max_rows, int n_threads) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return -1; }
+    size_t len = static_cast<size_t>(st.st_size);
+    if (len == 0) { close(fd); return 0; }
+    void* map = mmap(nullptr, len, PROT_READ, MAP_PRIVATE, fd, 0);
+    close(fd);
+    if (map == MAP_FAILED) return -1;
+    madvise(map, len, MADV_SEQUENTIAL);
+    const char* base = static_cast<const char*>(map);
+
+    int nt = n_threads > 0 ? n_threads : static_cast<int>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    if (len < (1 << 20)) nt = 1;  // small file: one thread
+
+    // chunk boundaries aligned to newlines
+    std::vector<const char*> bounds(nt + 1);
+    bounds[0] = base;
+    bounds[nt] = base + len;
+    for (int i = 1; i < nt; ++i) {
+        const char* guess = base + (len * i) / nt;
+        const char* nl = static_cast<const char*>(memchr(guess, '\n', base + len - guess));
+        bounds[i] = nl ? nl + 1 : base + len;
+    }
+
+    std::vector<ChunkResult> results(nt);
+    std::vector<std::thread> threads;
+    for (int i = 0; i < nt; ++i) {
+        threads.emplace_back(parse_chunk, bounds[i], bounds[i + 1], &results[i]);
+    }
+    for (auto& t : threads) t.join();
+    munmap(map, len);
+
+    long total = 0;
+    for (auto& r : results) total += static_cast<long>(r.rows.size() / 3);
+    if (total > max_rows) return -2;
+    double* w = out;
+    for (auto& r : results) {
+        memcpy(w, r.rows.data(), r.rows.size() * sizeof(double));
+        w += r.rows.size();
+    }
+    return total;
+}
+
+// Count parseable rows without writing (for buffer sizing).
+long fastparse_count(const char* path, int n_threads) {
+    int fd = open(path, O_RDONLY);
+    if (fd < 0) return -1;
+    struct stat st;
+    if (fstat(fd, &st) != 0) { close(fd); return -1; }
+    size_t len = static_cast<size_t>(st.st_size);
+    close(fd);
+    // cheap upper bound: newline count + 1 (exact count done in parse)
+    (void)n_threads;
+    return static_cast<long>(len / 2) + 1;
+}
+
+}  // extern "C"

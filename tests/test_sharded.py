@@ -1,0 +1,71 @@
+"""Multi-device shard_map paths vs single-device results (8 virtual CPU
+devices; the real-TPU multi-chip path is validated by dryrun_multichip)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import make_blobs
+from vtkcloudpoint_tpu.config import ICPConfig
+from vtkcloudpoint_tpu.cluster.blocks import assign_blocks_balanced, gather_blocks
+from vtkcloudpoint_tpu.cluster.dbscan import dbscan_blocks
+from vtkcloudpoint_tpu.cluster.fusion import merge_blocks
+from vtkcloudpoint_tpu.parallel.mesh import make_mesh
+from vtkcloudpoint_tpu.parallel.sharded import sharded_blocked_dbscan, sharded_icp
+from vtkcloudpoint_tpu.register.icp import icp
+from vtkcloudpoint_tpu.ops import se3
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_dbscan_matches_single(mesh):
+    rng = np.random.default_rng(0)
+    motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=80, spread=0.012)
+    n = len(motor)
+    valid = np.ones(n, bool)
+    cap = 128
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), cap)
+    B = 8  # pad block count to mesh size
+    bc, bv, pidx, ov = gather_blocks(jnp.asarray(motor), part["block"],
+                                     jnp.asarray(valid), B, cap)
+    assert int(np.asarray(ov).sum()) == 0
+
+    labels_sh, n_total_sh = sharded_blocked_dbscan(
+        mesh, bc, bv, eps=0.06, min_pts=9, quirks=True,
+        noise_capacity_per_device=256)
+
+    db = dbscan_blocks(bc, bv, 0.06, 9, "l1_motor")
+    fused = merge_blocks(db["label"], bv, bc, pidx, n, 0.06, 9, "l1_motor",
+                         quirks=True, noise_capacity=2048)
+    # compare per-point labels: scatter sharded labels back
+    lab_sh = np.zeros(n, np.int64)
+    tab = np.asarray(pidx)
+    ls = np.asarray(labels_sh)
+    m = tab >= 0
+    lab_sh[tab[m]] = ls[m]
+    np.testing.assert_array_equal(lab_sh, np.asarray(fused["label"]))
+    assert int(n_total_sh) == int(fused["n_total"])
+
+
+def test_sharded_icp_matches_single(mesh):
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(-1, 1, size=(512, 3)) * np.array([5, 5, 1])
+    r_true = np.asarray(se3.rotz(0.12))
+    t_true = np.array([0.4, -0.1, 0.2])
+    target = pts @ r_true.T + t_true
+    sv = np.ones(512, bool)
+    tv = np.ones(512, bool)
+    cfg = ICPConfig(tol=1e-12)
+    r, t, d, it = sharded_icp(mesh, jnp.asarray(pts), jnp.asarray(sv),
+                              jnp.asarray(target), jnp.asarray(tv), cfg)
+    np.testing.assert_allclose(np.asarray(r), r_true, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t), t_true, atol=1e-6)
+    single = icp(jnp.asarray(pts), jnp.asarray(sv), jnp.asarray(target),
+                 jnp.asarray(tv), cfg)
+    # same trajectory: identical iteration count and near-identical error
+    assert int(it) == int(single.iterations)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(single.r), atol=1e-9)

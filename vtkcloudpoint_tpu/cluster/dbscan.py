@@ -54,9 +54,10 @@ def _min_label_fixpoint(core_adj, core, max_iters: int):
     def cond(state):
         return state[1] & (state[2] < max_iters)
 
-    lab, _, _ = jax.lax.while_loop(
-        cond, body, (lab0, jnp.array(True), jnp.int32(0))
-    )
+    # Seed the loop with one eager body step so the carry's varying-axis type
+    # matches under shard_map (a literal True init is unvarying and rejected).
+    lab1, changed1, it1 = body((lab0, None, jnp.int32(0)))
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab1, changed1, it1))
     return lab
 
 

@@ -104,6 +104,52 @@ def rotz(theta):
     return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
 
 
+def so3_hat(w):
+    """[3] -> skew-symmetric [3,3]."""
+    z = jnp.zeros((), w.dtype)
+    return jnp.array(
+        [
+            [z, -w[2], w[1]],
+            [w[2], z, -w[0]],
+            [-w[1], w[0], z],
+        ]
+    )
+
+
+def so3_exp(w):
+    """Rodrigues: rotation vector [3] -> R [3,3] (Taylor-safe near 0)."""
+    theta2 = jnp.dot(w, w)
+    theta = jnp.sqrt(theta2 + 1e-300)
+    k = so3_hat(w)
+    a = jnp.where(theta2 > 1e-16, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
+    b = jnp.where(
+        theta2 > 1e-16, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0
+    )
+    return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
+
+
+def so3_log(r):
+    """R [3,3] -> rotation vector [3], angle in [0, pi).
+
+    atan2-based formulation with Taylor fallback so gradients stay finite at
+    theta -> 0 (an arccos form has an infinite derivative there, which
+    poisons Gauss-Newton jacobians). Angles at exactly pi are degenerate
+    (w ~= 0) -- pose-graph increments never live there.
+    """
+    w = jnp.array(
+        [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
+    )
+    # sin(theta) = |w| / 2; the +tiny keeps the sqrt gradient finite at 0
+    sin_t = 0.5 * jnp.sqrt(jnp.dot(w, w) + 1e-300)
+    cos_t = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arctan2(sin_t, cos_t)
+    small = sin_t < 1e-7
+    safe_sin = jnp.where(small, 1.0, sin_t)
+    scale = jnp.where(small, 0.5 + theta * theta / 12.0,
+                      theta / (2.0 * safe_sin))
+    return scale * w
+
+
 def random_rotation(key):
     """Uniform random rotation from a random unit quaternion."""
     q = jax.random.normal(key, (4,))

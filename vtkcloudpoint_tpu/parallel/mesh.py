@@ -1,0 +1,27 @@
+"""Device mesh helpers.
+
+Replaces the reference's in-process ThreadPool fan-out + poll barrier
+(FrmMain.cs:1340-1399) with a jax.sharding.Mesh: blocks shard over the
+``blocks`` axis, collectives ride ICI (SURVEY.md §2 parallelism inventory).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def shard_blocks(mesh: Mesh, arr, axis: str = "blocks"):
+    """Shard leading (block) dimension over the mesh."""
+    spec = P(axis) if arr.ndim == 1 else P(axis, *([None] * (arr.ndim - 1)))
+    return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def replicated(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))

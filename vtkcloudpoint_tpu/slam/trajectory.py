@@ -1,0 +1,135 @@
+"""Multi-scan trajectory registration: sequential scan-to-scan ICP odometry,
+loop-closure detection, and pose-graph assembly.
+
+BASELINE.json tier-4 pipeline: each scan registers to its predecessor (ICP
+odometry edge); scans whose odometry positions come close again get a
+loop-closure ICP edge; the pose graph then relaxes drift globally
+(slam/posegraph.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ICPConfig
+from ..ops import se3
+from ..register.icp import icp
+from .posegraph import PoseGraph, optimize_pose_graph
+
+
+class Trajectory(NamedTuple):
+    r: jax.Array   # [S,3,3] world-from-scan rotations
+    t: jax.Array   # [S,3]
+
+
+def odometry_chain(scans, scan_valid, cfg: ICPConfig = ICPConfig()):
+    """Register each scan to its predecessor.
+
+    scans: [S, N, 3] padded; scan_valid: [S, N].
+    Returns (relative (r_rel [S-1,3,3], t_rel [S-1,3]) with
+    scan_{s} ~= r_rel[s] scan_{s+1} + t_rel[s], world Trajectory).
+    """
+    s = scans.shape[0]
+
+    def pair(prev_next):
+        prev, pv, nxt, nv = prev_next
+        res = icp(nxt, nv, prev, pv, cfg)
+        return res.r, res.t
+
+    r_rel, t_rel = jax.lax.map(
+        pair, (scans[:-1], scan_valid[:-1], scans[1:], scan_valid[1:])
+    )
+
+    def compose(carry, rel):
+        rw, tw = carry
+        rr, tr = rel
+        # world_from_next = world_from_prev o prev_from_next
+        rn = rw @ rr
+        tn = rw @ tr + tw
+        return (rn, tn), (rn, tn)
+
+    dt = scans.dtype
+    (_, _), (r_acc, t_acc) = jax.lax.scan(
+        compose, (jnp.eye(3, dtype=dt), jnp.zeros(3, dt)), (r_rel, t_rel)
+    )
+    r_world = jnp.concatenate([jnp.eye(3, dtype=dt)[None], r_acc])
+    t_world = jnp.concatenate([jnp.zeros((1, 3), dt), t_acc])
+    return (r_rel, t_rel), Trajectory(r_world, t_world)
+
+
+def detect_loop_closures(traj: Trajectory, radius: float, min_separation: int = 5):
+    """Host-side: scan pairs whose odometry positions are within ``radius``
+    and at least ``min_separation`` apart in sequence. Returns (i, j) arrays."""
+    t = np.asarray(traj.t)
+    s = len(t)
+    pairs = []
+    for i in range(s):
+        for j in range(i + min_separation, s):
+            if np.linalg.norm(t[i] - t[j]) < radius:
+                pairs.append((i, j))
+    if not pairs:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
+    a = np.array(pairs, np.int32)
+    return a[:, 0], a[:, 1]
+
+
+def closure_edges(scans, scan_valid, traj: Trajectory, li, lj,
+                  cfg: ICPConfig = ICPConfig()):
+    """ICP each loop-closure pair (j registered onto i), initialized from the
+    current odometry estimate. Returns (r_meas [L,3,3], t_meas [L,3])."""
+    if len(li) == 0:
+        dt = scans.dtype
+        return jnp.zeros((0, 3, 3), dt), jnp.zeros((0, 3), dt)
+
+    def one(args):
+        i, j = args
+        # init: i_from_j = world_from_i^{-1} o world_from_j
+        ri = traj.r[i]
+        ti = traj.t[i]
+        rj = traj.r[j]
+        tj = traj.t[j]
+        r0 = ri.T @ rj
+        t0 = ri.T @ (tj - ti)
+        res = icp(scans[j], scan_valid[j], scans[i], scan_valid[i], cfg,
+                  r0=r0, t0=t0)
+        return res.r, res.t
+
+    return jax.lax.map(one, (jnp.asarray(li), jnp.asarray(lj)))
+
+
+def build_pose_graph(r_rel, t_rel, li, lj, r_loop, t_loop,
+                     odom_weight: float = 1.0, loop_weight: float = 1.0):
+    """Assemble odometry + loop edges into a PoseGraph.
+
+    Convention: edge (i, j) stores i_from_j measurements (scan_i frame), so
+    edge residuals compare against X_i^{-1} X_j.
+    """
+    s1 = r_rel.shape[0]
+    dt = r_rel.dtype
+    ei = jnp.concatenate([jnp.arange(s1, dtype=jnp.int32), jnp.asarray(li, jnp.int32)])
+    ej = jnp.concatenate([jnp.arange(1, s1 + 1, dtype=jnp.int32),
+                          jnp.asarray(lj, jnp.int32)])
+    rm = jnp.concatenate([r_rel, r_loop]) if r_loop.shape[0] else r_rel
+    tm = jnp.concatenate([t_rel, t_loop]) if t_loop.shape[0] else t_rel
+    w = jnp.concatenate([
+        jnp.full((s1,), odom_weight, dt),
+        jnp.full((r_loop.shape[0],), loop_weight, dt),
+    ])
+    return PoseGraph(edge_i=ei, edge_j=ej, r_meas=rm, t_meas=tm, weight=w)
+
+
+def slam_pipeline(scans, scan_valid, icp_cfg: ICPConfig = ICPConfig(),
+                  loop_radius: float = 5.0, gn_iterations: int = 10,
+                  damping: float = 1e-6):
+    """Full tier-4 pipeline: odometry -> loop closures -> pose-graph solve."""
+    (r_rel, t_rel), traj = odometry_chain(scans, scan_valid, icp_cfg)
+    li, lj = detect_loop_closures(traj, loop_radius)
+    r_loop, t_loop = closure_edges(scans, scan_valid, traj, li, lj, icp_cfg)
+    graph = build_pose_graph(r_rel, t_rel, li, lj, r_loop, t_loop)
+    r_opt, t_opt, cost = optimize_pose_graph(
+        traj.r, traj.t, graph, iterations=gn_iterations, damping=damping
+    )
+    return Trajectory(r_opt, t_opt), traj, cost
