@@ -110,6 +110,21 @@ def dbscan_padded(
     }
 
 
+def dbscan_matlab_convention(data, min_pts: int, eps: float):
+    """External-clusterer API shim: Data2Cluster.DoDbscan.dbscan replacement.
+
+    The reference's MATLAB plugin (C21, FrmMain.cs:2796-2828, Tools.cs:636)
+    takes [N, 2] rows with (minPts, eps) in THAT order and returns a label
+    row vector with -1 = noise, ids 1..K. Metric is Euclidean (MATLAB
+    dbscan default), unlike the L1-motor production path.
+    """
+    data = jnp.asarray(data)
+    n = data.shape[0]
+    out = dbscan_padded(data, jnp.ones(n, bool), eps, min_pts, "l2_xyz")
+    lab = out["label"]
+    return jnp.where(lab == 0, -1, lab), out["n_clusters"]
+
+
 @partial(jax.jit, static_argnames=("eps", "min_pts", "metric", "max_iters", "chunk"))
 def dbscan_blocks(
     coords: jax.Array,

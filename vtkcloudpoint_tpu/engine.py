@@ -1,0 +1,171 @@
+"""High-level engine facade.
+
+The orchestration role of the reference MainForm (SURVEY.md L7) as a
+headless, scriptable API: one object that carries the config and walks the
+full workflow -- import -> filter -> cluster -> reject -> coarse align ->
+ICP -> match -> export. Every step delegates to the tested modules; this
+layer only wires them and tracks workflow state.
+
+Typical session (mirrors the reference menu flow, §3 call stacks):
+
+    eng = Engine(EngineConfig())
+    batch, names = eng.import_folder("scans/")
+    batch = eng.filter_by_distance(batch, 2.0, 300.0)
+    result = eng.cluster(batch)
+    batch, result = eng.reject_by_radius(batch, result, radius=0.5)
+    reg = eng.register_to_truth(result, truth_xyz)
+    matches = eng.match(result, truth_xyz, reg)
+    eng.export_scene("out/scene", batch, result, matches)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import EngineConfig
+from .data.convert import distance_window
+from .data.pointbatch import PointBatch
+from .io.ingest import import_scan_folder, import_scan_arrays
+from .io import loaders
+from .cluster.pipeline import cluster_scan, reject_clusters, ClusterResult
+from .register.icp import icp, icp_multistart, ICPResult
+from .register.coarse import auto_rescale_centers, rescale_region_truth
+from .register.matching import assign_matches, registration_rmse
+from .viz import vtkio
+
+
+class Engine:
+    def __init__(self, cfg: EngineConfig = EngineConfig()):
+        self.cfg = cfg
+
+    # ---- ingestion (C2-C5) ----
+
+    def import_folder(self, folder: str, pattern: str = "*.txt"):
+        return import_scan_folder(folder, self.cfg.imports, pattern)
+
+    def import_arrays(self, motor, rng, capacity: Optional[int] = None):
+        return import_scan_arrays(motor, rng, self.cfg.imports, capacity)
+
+    def filter_by_distance(self, batch: PointBatch, dis_min: float,
+                           dis_max: float) -> PointBatch:
+        """Distance-window filter; confirm == the mask update itself
+        (Tools.FilterByDistance_* + cleanDataByDistance semantics)."""
+        keep = distance_window(batch.rng, dis_min, dis_max)
+        return batch.with_valid(batch.valid & keep)
+
+    # ---- clustering (C6-C15) ----
+
+    def cluster(self, batch: PointBatch, mode: str = "reference",
+                centroid_merge: bool = False, quirks: bool = False,
+                **caps) -> ClusterResult:
+        """quirks=False (default): clean fusion semantics. quirks=True
+        reproduces the reference's merge quirks bit-for-bit -- including its
+        off-by-one total when the noise re-cluster recovers nothing
+        (clusterSum-delSum-1 seed, FrmMain.cs:1509), a case where the
+        reference itself would crash in GetClusList."""
+        n = batch.capacity
+        defaults = dict(
+            max_blocks=max(64, n // max(self.cfg.cluster.pts_in_cell, 1)),
+            max_clusters=1024,
+            cluster_capacity=1024,
+            noise_capacity=4096,
+        )
+        defaults.update(caps)
+        return cluster_scan(batch.xyz, batch.motor, batch.valid, self.cfg,
+                            mode=mode, quirks=quirks,
+                            centroid_merge=centroid_merge, **defaults)
+
+    def reject_by_radius(self, batch: PointBatch, result: ClusterResult,
+                         radius: Optional[float] = None,
+                         aspect: Optional[float] = None):
+        new_valid, rejected = reject_clusters(
+            result, batch.valid,
+            self.cfg.filters.radius_threshold if radius is None else radius,
+            self.cfg.filters.aspect_threshold if aspect is None else aspect,
+        )
+        return batch.with_valid(new_valid), rejected
+
+    # ---- registration (C18-C22) ----
+
+    def coarse_align(self, result: ClusterResult, truth_xyz,
+                     region_mask=None):
+        """Extent auto-rescale of centroids to truth; optional region-subset
+        truth rescale. Returns (centers_tmp [K,3], truth_tmp [M,3])."""
+        cvalid = result.count > 0
+        truth_xyz = jnp.asarray(truth_xyz)
+        tvalid = jnp.ones(truth_xyz.shape[0], bool)
+        tmp_xy, scale, bounds = auto_rescale_centers(
+            result.center3d[:, :2], cvalid, truth_xyz[:, :2], tvalid)
+        centers_tmp = jnp.concatenate(
+            [tmp_xy, jnp.zeros_like(tmp_xy[:, :1])], axis=-1)
+        if region_mask is not None:
+            t_xy = rescale_region_truth(truth_xyz[:, :2],
+                                        jnp.asarray(region_mask), bounds)
+        else:
+            t_xy = truth_xyz[:, :2]
+        truth_tmp = jnp.concatenate(
+            [t_xy, jnp.zeros_like(t_xy[:, :1])], axis=-1)
+        return centers_tmp, truth_tmp
+
+    def register_to_truth(self, result: ClusterResult, truth_xyz,
+                          coarse: bool = True,
+                          region_mask=None) -> ICPResult:
+        cvalid = result.count > 0
+        truth_xyz = jnp.asarray(truth_xyz)
+        if coarse:
+            src, tgt = self.coarse_align(result, truth_xyz, region_mask)
+            tvalid = (jnp.ones(truth_xyz.shape[0], bool)
+                      if region_mask is None else jnp.asarray(region_mask))
+        else:
+            src, tgt = result.center3d, truth_xyz
+            tvalid = jnp.ones(truth_xyz.shape[0], bool)
+        if self.cfg.icp.num_starts > 1:
+            return icp_multistart(src, cvalid, tgt, tvalid, self.cfg.icp)
+        return icp(src, cvalid, tgt, tvalid, self.cfg.icp)
+
+    def match(self, result: ClusterResult, truth_xyz, reg: ICPResult,
+              coarse: bool = True, match_distance: Optional[float] = None):
+        truth_xyz = jnp.asarray(truth_xyz)
+        cvalid = result.count > 0
+        if coarse:
+            src, tgt = self.coarse_align(result, truth_xyz)
+        else:
+            src, tgt = result.center3d, truth_xyz
+        out = assign_matches(
+            src, cvalid, tgt, jnp.ones(truth_xyz.shape[0], bool),
+            reg.r, reg.t,
+            self.cfg.icp.match_distance if match_distance is None
+            else match_distance,
+        )
+        out["rmse"] = registration_rmse(out, tgt)
+        return out
+
+    # ---- export / viz (C25, Tools export) ----
+
+    def export_scene(self, prefix: str, batch: PointBatch,
+                     result: ClusterResult, matches=None, truth_tmp=None):
+        data = batch.to_numpy()
+        lab = np.asarray(result.label)[np.asarray(batch.valid)]
+        vtkio.write_points_vtk(prefix + "_points.vtk", data["xyz"], lab)
+        vtkio.write_circles_vtk(
+            prefix + "_circles.vtk",
+            np.asarray(result.center3d)[:, :2], np.asarray(result.radius3d))
+        if matches is not None and truth_tmp is not None:
+            m = np.asarray(matches["is_matched"])
+            starts = np.asarray(matches["matched_xyz"])[m]
+            ends = np.asarray(truth_tmp)[np.asarray(matches["match_idx"])[m]]
+            vtkio.write_lines_vtk(prefix + "_matches.vtk", starts, ends)
+
+    def export_centroids(self, path: str, result: ClusterResult,
+                         bit: int = 4):
+        live = np.asarray(result.count) > 0
+        loaders.export_centroids(path, np.asarray(result.center3d)[live], bit)
+
+    def export_cluster_points(self, path: str, batch: PointBatch,
+                              result: ClusterResult, bit: int = 4):
+        v = np.asarray(batch.valid)
+        loaders.export_cluster_points(
+            path, np.asarray(result.label)[v], np.asarray(batch.motor)[v],
+            np.asarray(batch.rng)[v], bit)
