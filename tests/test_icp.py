@@ -149,3 +149,21 @@ def test_assign_matches_threshold(rng):
     np.testing.assert_array_equal(np.asarray(out["match_idx"][:15]), np.arange(15))
     rmse = float(registration_rmse(out, jnp.asarray(truth)))
     assert np.isclose(rmse, np.sqrt(3 * 0.01**2), rtol=1e-6)
+
+
+def test_ransac_init_recovers_large_rotation():
+    """RANSAC handles a rotation that defeats plain ICP (tier-3 capability)."""
+    from vtkcloudpoint_tpu.register.icp import icp_ransac, ransac_init
+    from vtkcloudpoint_tpu.config import ICPConfig
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 1, size=(50, 3)) * np.array([4, 1, 0.0])
+    pts[:15] += np.array([2.0, 3.0, 0])
+    r_true = np.asarray(se3.rotz(2.5))
+    target = pts @ r_true.T + np.array([-1.0, 2.0, 0.0])
+    v = np.ones(50, bool)
+    cfg = ICPConfig(tol=1e-12, ransac_iters=128,
+                    ransac_inlier_threshold=0.05)
+    res = icp_ransac(jnp.asarray(pts), jnp.asarray(v), jnp.asarray(target),
+                     jnp.asarray(v), cfg, key=jax.random.PRNGKey(1))
+    assert float(res.error) < 1e-8
+    np.testing.assert_allclose(np.asarray(res.r), r_true, atol=1e-5)

@@ -58,6 +58,16 @@ def _native_lib():
     return _LIB
 
 
+def load_scan(path: str, use_native: bool = True) -> np.ndarray:
+    """Dispatch by extension: .xls -> BIFF reader, else text parser
+    (the reference's isXLS switch, FrmMain.cs:957-1010)."""
+    if path.lower().endswith(".xls"):
+        from .xls import load_scan_xls
+
+        return load_scan_xls(path)
+    return load_scan_txt(path, use_native)
+
+
 def load_scan_txt(path: str, use_native: bool = True) -> np.ndarray:
     """Parse a 3-column scan file -> float64 [N, 3] (motor_x, motor_y, dist)."""
     lib = _native_lib() if use_native else None
@@ -90,7 +100,7 @@ def load_folder(folder: str, pattern: str = "*.txt", use_native: bool = True):
     files = sorted(glob.glob(os.path.join(folder, pattern)))
     datas, pids, names = [], [], []
     for i, f in enumerate(files):
-        d = load_scan_txt(f, use_native)
+        d = load_scan(f, use_native)
         datas.append(d)
         pids.append(np.full(len(d), i, np.int32))
         names.append(os.path.splitext(os.path.basename(f))[0])

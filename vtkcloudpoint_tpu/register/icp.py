@@ -115,6 +115,84 @@ def icp(
     return ICPResult(r=r, t=t, error=d, iterations=it, converged=converged)
 
 
+@partial(jax.jit, static_argnames=("iters", "chunk"))
+def ransac_init(
+    source,
+    source_valid,
+    target,
+    target_valid,
+    inlier_threshold: float,
+    iters: int = 64,
+    key=None,
+    chunk: int = 2048,
+):
+    """Congruent-pair RANSAC for a rigid 2D-dominant init (tier-3 extension;
+    addresses the reference README's checkerboard local-minimum admission).
+
+    Each hypothesis samples a source pair and a target pair, derives the
+    z-rotation + translation mapping one onto the other, and scores by the
+    number of source points whose NN lands within ``inlier_threshold``.
+    Returns (r0, t0, best_inliers). Refine with icp(r0=..., t0=...).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = source.shape[0]
+    m = target.shape[0]
+    dtype = source.dtype
+    w_src = source_valid.astype(dtype)
+
+    def hypothesis(k):
+        ks, kt = jax.random.split(k)
+        si = jax.random.choice(ks, n, (2,), p=w_src / jnp.sum(w_src))
+        tj = jax.random.choice(
+            kt, m, (2,),
+            p=target_valid.astype(dtype) / jnp.sum(target_valid.astype(dtype)),
+        )
+        s1, s2 = source[si[0]], source[si[1]]
+        t1, t2 = target[tj[0]], target[tj[1]]
+        ang = jnp.arctan2(t2[1] - t1[1], t2[0] - t1[0]) - jnp.arctan2(
+            s2[1] - s1[1], s2[0] - s1[0]
+        )
+        r = se3.rotz(ang).astype(dtype)
+        t = t1 - r @ s1
+        # length congruence gate: mismatched pair lengths score 0
+        len_ok = jnp.abs(
+            jnp.linalg.norm(s2 - s1) - jnp.linalg.norm(t2 - t1)
+        ) < 2.0 * inlier_threshold
+        moved = se3.apply_rigid(r, t, source)
+        _, d2 = nn_correspond(moved, target, target_valid, chunk)
+        inliers = jnp.sum(
+            jnp.where(
+                source_valid & (d2 < inlier_threshold**2), 1.0, 0.0
+            )
+        )
+        return r, t, jnp.where(len_ok, inliers, 0.0)
+
+    rs, ts, scores = jax.lax.map(hypothesis, jax.random.split(key, iters))
+    best = jnp.argmax(scores)
+    return rs[best], ts[best], scores[best]
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
+def icp_ransac(
+    source,
+    source_valid,
+    target,
+    target_valid,
+    cfg: ICPConfig = ICPConfig(),
+    key=None,
+    chunk: int = 2048,
+):
+    """RANSAC init + ICP refine (cfg.ransac_iters hypotheses)."""
+    r0, t0, _ = ransac_init(
+        source, source_valid, target, target_valid,
+        cfg.ransac_inlier_threshold, max(int(cfg.ransac_iters), 1), key,
+        chunk,
+    )
+    return icp(source, source_valid, target, target_valid, cfg,
+               r0=r0, t0=t0, chunk=chunk)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
 def icp_multistart(
     source,
