@@ -57,7 +57,7 @@ def tpu_pipeline():
     import jax
     import jax.numpy as jnp
     from vtkcloudpoint_tpu.cluster.blocks import (
-        assign_blocks_balanced, gather_blocks,
+        assign_blocks_balanced, gather_blocks_ordered,
     )
     from vtkcloudpoint_tpu.cluster.dbscan import dbscan_blocks
     from vtkcloudpoint_tpu.cluster.fusion import merge_blocks
@@ -70,8 +70,8 @@ def tpu_pipeline():
 
     def step(motor, xyz, valid, truth, truth_valid):
         part = assign_blocks_balanced(motor, valid, BLOCK_CAP)
-        bc, bv, pidx, _ = gather_blocks(motor, part["block"], valid,
-                                        max_blocks, BLOCK_CAP)
+        bc, bv, pidx, _ = gather_blocks_ordered(motor, part["order"], valid,
+                                                max_blocks, BLOCK_CAP)
         db = dbscan_blocks(bc, bv, EPS, MIN_PTS, "l1_motor", chunk=16)
         fused = merge_blocks(db["label"], bv, bc, pidx, n, EPS, MIN_PTS,
                              "l1_motor", quirks=False,

@@ -109,8 +109,10 @@ def assign_blocks_balanced(motor, valid, block_capacity: int):
     xmin, ymin, xmax, ymax = _extents(motor, valid)
     sx = jnp.clip((x - xmin) / jnp.maximum(xmax - xmin, 1e-30), 0.0, 1.0)
     sy = jnp.clip((y - ymin) / jnp.maximum(ymax - ymin, 1e-30), 0.0, 1.0)
-    qx = jnp.minimum((sx * 65535.0).astype(jnp.int32), 65535)
-    qy = jnp.minimum((sy * 65535.0).astype(jnp.int32), 65535)
+    # clamp to 65534 so no valid code collides with the 0xFFFFFFFF
+    # invalid sentinel (qx=qy=65535 would interleave into it)
+    qx = jnp.minimum((sx * 65535.0).astype(jnp.int32), 65534)
+    qy = jnp.minimum((sy * 65535.0).astype(jnp.int32), 65534)
     code = _morton_key(qx, qy)
     code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
     order = jnp.argsort(code, stable=True)
@@ -118,7 +120,34 @@ def assign_blocks_balanced(motor, valid, block_capacity: int):
     block = jnp.where(valid, rank // block_capacity, 0).astype(jnp.int32)
     n_valid = jnp.sum(valid.astype(jnp.int32))
     n_blocks = (n_valid + block_capacity - 1) // block_capacity
-    return {"block": block, "n_blocks": n_blocks}
+    # ``order`` IS the bucket layout: slot (b, k) holds point order[b*cap+k].
+    # gather_blocks_ordered consumes it directly, skipping a second argsort.
+    return {"block": block, "n_blocks": n_blocks, "order": order}
+
+
+@partial(jax.jit, static_argnames=("max_blocks", "capacity"))
+def gather_blocks_ordered(coords, order, valid, max_blocks: int,
+                          capacity: int):
+    """Bucket points using a precomputed sort order (balanced mode fast
+    path): point_index[b, k] = order[b*cap + k], padded with -1 past the
+    valid count. Equivalent to gather_blocks on assign_blocks_balanced
+    output but with no second sort."""
+    n = coords.shape[0]
+    total = max_blocks * capacity
+    o = order[:total] if n >= total else jnp.pad(order, (0, total - n),
+                                                 constant_values=0)
+    slot_valid = (jnp.arange(total) < jnp.sum(valid.astype(jnp.int32)))
+    table = jnp.where(slot_valid, o.astype(jnp.int32), -1).reshape(
+        max_blocks, capacity
+    )
+    safe = jnp.clip(table, 0, n - 1)
+    block_coords = jnp.where(
+        (table >= 0)[..., None], coords[safe], 0.0
+    )
+    overflow = jnp.maximum(
+        jnp.sum(valid.astype(jnp.int32)) - total, 0
+    )[None]
+    return block_coords, table >= 0, table, overflow
 
 
 @partial(jax.jit, static_argnames=("max_blocks", "capacity"))

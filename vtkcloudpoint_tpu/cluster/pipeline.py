@@ -17,7 +17,10 @@ from ..config import EngineConfig
 from ..ops.metrics import coords_for_metric
 from ..ops.segment import cluster_stats, bucket_by_cluster
 from ..ops.geometry import cluster_shapes
-from .blocks import assign_blocks_reference, assign_blocks_balanced, gather_blocks
+from .blocks import (
+    assign_blocks_reference, assign_blocks_balanced, gather_blocks,
+    gather_blocks_ordered,
+)
 from .dbscan import dbscan_blocks
 from .fusion import merge_blocks, merge_centroid_clusters
 
@@ -60,11 +63,16 @@ def cluster_scan(
 
     if mode == "reference":
         part = assign_blocks_reference(motor, valid, cc.pts_in_cell)
+        block_coords, block_valid, point_index, overflow = gather_blocks(
+            coords, part["block"], valid, max_blocks, cc.block_capacity
+        )
     else:
         part = assign_blocks_balanced(motor, valid, cc.block_capacity)
-    block_coords, block_valid, point_index, overflow = gather_blocks(
-        coords, part["block"], valid, max_blocks, cc.block_capacity
-    )
+        block_coords, block_valid, point_index, overflow = (
+            gather_blocks_ordered(
+                coords, part["order"], valid, max_blocks, cc.block_capacity
+            )
+        )
 
     db = dbscan_blocks(
         block_coords, block_valid, cc.eps, cc.min_pts, cc.metric,
