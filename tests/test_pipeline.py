@@ -148,3 +148,29 @@ def test_balanced_pipeline_runs_and_is_sane():
     # sanity: major blobs recovered (>= n_clusters real blobs present)
     assert int(res.n_clusters) >= 4
     assert (lab >= 0).all()
+
+
+def test_halo_merge_in_pipeline():
+    """halo_merge=True recovers the true cluster count on a split scene."""
+    rng = np.random.default_rng(77)
+    stripe = np.stack([np.linspace(0, 2.0, 120), np.zeros(120)], axis=1)
+    stripe = np.repeat(stripe, 3, axis=0) + 0.005 * rng.standard_normal((360, 2))
+    blob = np.array([5.0, 5.0]) + 0.01 * rng.standard_normal((40, 2))
+    motor = np.concatenate([stripe, blob])
+    rng.shuffle(motor)
+    xyz = np.concatenate([motor, np.ones((len(motor), 1))], axis=1)
+    n = len(motor)
+    cfg = EngineConfig(cluster=ClusterConfig(eps=0.08, min_pts=6,
+                                             block_capacity=128))
+    plain = cluster_scan(jnp.asarray(xyz), jnp.asarray(motor),
+                         jnp.ones(n, bool), cfg, mode="balanced",
+                         max_blocks=4, max_clusters=64, cluster_capacity=512,
+                         quirks=False)
+    merged = cluster_scan(jnp.asarray(xyz), jnp.asarray(motor),
+                          jnp.ones(n, bool), cfg, mode="balanced",
+                          max_blocks=4, max_clusters=64, cluster_capacity=512,
+                          quirks=False, halo_merge=True, halo_cap=128)
+    k_true = dbscan_oracle(motor, 0.08, 6)[1]
+    assert k_true == 2
+    assert int(plain.n_clusters) > k_true
+    assert int(merged.n_clusters) == k_true

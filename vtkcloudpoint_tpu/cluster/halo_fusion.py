@@ -54,6 +54,7 @@ def halo_merge_labels(
                     merge evidence -- enlarge halo_cap if nonzero)
     """
     B, cap, d = block_coords.shape
+    halo_cap = min(halo_cap, cap)
     big = jnp.asarray(1e30, block_coords.dtype)
 
     # block bboxes over valid points

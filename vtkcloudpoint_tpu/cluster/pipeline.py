@@ -52,8 +52,15 @@ def cluster_scan(
     cluster_capacity: int = 1024,
     max_hull: int = 64,
     centroid_merge: bool = False,
+    halo_merge: bool = False,
+    halo_cap: int = 64,
 ):
     """Cluster one scan. Returns ClusterResult.
+
+    halo_merge=True runs the principled cross-block union-find
+    (cluster.halo_fusion) after the reference-style fusion, unifying
+    clusters split across block boundaries -- a beyond-reference
+    correctness upgrade (disable for bit-parity runs).
 
     All capacity knobs are static; overflow counters report any truncation.
     """
@@ -89,6 +96,21 @@ def cluster_scan(
     )
     label = fused["label"]
     n_clusters = fused["n_total"]
+
+    if halo_merge:
+        from .halo_fusion import halo_merge_labels, apply_halo_merge
+
+        safe_pi = jnp.clip(point_index, 0, n - 1)
+        block_glabels = jnp.where(
+            point_index >= 0, label[safe_pi], 0
+        )
+        hm = halo_merge_labels(
+            block_coords, block_valid, block_glabels, db["core"],
+            n_clusters, cc.eps, cc.metric,
+            halo_cap=halo_cap, max_ids=max_clusters,
+        )
+        label = apply_halo_merge(label, hm["remap"])
+        n_clusters = hm["n_after"]
 
     stats = cluster_stats(xyz, motor, label, valid, max_clusters)
 
