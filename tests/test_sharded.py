@@ -69,3 +69,41 @@ def test_sharded_icp_matches_single(mesh):
     # same trajectory: identical iteration count and near-identical error
     assert int(it) == int(single.iterations)
     np.testing.assert_allclose(np.asarray(r), np.asarray(single.r), atol=1e-9)
+
+
+def test_sharded_halo_merge_matches_single(mesh):
+    """Sharded halo merge over the split-cluster scene equals the
+    single-device halo pipeline result."""
+    rng = np.random.default_rng(3)
+    stripe = np.stack([np.linspace(0, 2.0, 120), np.zeros(120)], axis=1)
+    stripe = np.repeat(stripe, 3, axis=0) + 0.005 * rng.standard_normal((360, 2))
+    blob = np.array([5.0, 5.0]) + 0.01 * rng.standard_normal((40, 2))
+    motor = np.concatenate([stripe, blob])
+    rng.shuffle(motor)
+    n = len(motor)
+    cap = 64
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), cap)
+    B = 8
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), B, cap)
+    labels_sh, n_total_sh = sharded_blocked_dbscan(
+        mesh, bc, bv, eps=0.08, min_pts=6, quirks=False,
+        noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
+        max_ids=128)
+    # single-device comparison
+    from vtkcloudpoint_tpu.cluster.dbscan import dbscan_blocks as dbb
+    from vtkcloudpoint_tpu.cluster.halo_fusion import (
+        halo_merge_labels, apply_halo_merge)
+    db = dbb(bc, bv, 0.08, 6, "l1_motor")
+    fused = merge_blocks(db["label"], bv, bc, pidx, n, 0.08, 6, "l1_motor",
+                         quirks=False, noise_capacity=1024)
+    pidx_np = np.asarray(pidx)
+    bg = np.zeros((B, cap), np.int32)
+    m = pidx_np >= 0
+    bg[m] = np.asarray(fused["label"])[pidx_np[m]]
+    hm = halo_merge_labels(bc, bv, jnp.asarray(bg), db["core"],
+                           fused["n_total"], 0.08, halo_cap=64, max_ids=128)
+    want = np.asarray(apply_halo_merge(jnp.asarray(bg), hm["remap"]))
+    np.testing.assert_array_equal(np.asarray(labels_sh), want)
+    assert int(n_total_sh) == int(hm["n_after"]) == 2

@@ -6,16 +6,16 @@ split into two pieces that each independently survive the cull keeps TWO ids.
 This module fixes that (the SURVEY.md §5 "principled version of the
 re-cluster-the-leftovers trick"):
 
-1. per block, collect boundary points (within eps of the block's bbox) into
-   fixed-capacity halo buffers;
+1. per block, collect core boundary points (within eps of the block's bbox)
+   into fixed-capacity halo buffers;
 2. over the gathered boundary set, any two CORE points from different
    clusters within eps imply their global ids denote one cluster;
 3. a scatter-min union-find over the id table resolves the implied merges to
    a fixpoint, then ids densify to 1..K'.
 
-Single-device here; the sharded variant all_gathers the same fixed-capacity
-halo buffers (parallel.sharded), so the collective payload is the eps-shell,
-not the world.
+The buffer builder and the union-find are split so the sharded path
+(parallel.sharded) can all_gather per-device halo buffers between them --
+the collective payload is the eps-shell, not the world.
 """
 from __future__ import annotations
 
@@ -25,6 +25,91 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.metrics import pairwise
+
+
+def halo_buffers(block_coords, block_valid, block_labels, block_core,
+                 eps: float, halo_cap: int):
+    """Pack core boundary points into [B*halo_cap] buffers.
+
+    Returns (hx [M, D], hlab i32[M], hvalid bool[M], halo_overflow i32[]).
+    """
+    B, cap, d = block_coords.shape
+    halo_cap = min(halo_cap, cap)
+    big = jnp.asarray(1e30, block_coords.dtype)
+
+    lo = jnp.min(jnp.where(block_valid[..., None], block_coords, big), axis=1)
+    hi = jnp.max(jnp.where(block_valid[..., None], block_coords, -big), axis=1)
+    near_edge = jnp.any(
+        (block_coords - lo[:, None, :] <= eps)
+        | (hi[:, None, :] - block_coords <= eps),
+        axis=-1,
+    )
+    is_halo = block_valid & near_edge & block_core & (block_labels > 0)
+
+    slot_key = jnp.where(is_halo, jnp.arange(cap)[None, :], cap)
+    order = jnp.argsort(slot_key, axis=1, stable=True)[:, :halo_cap]
+    take = jnp.take_along_axis
+    sel_valid = take(is_halo, order, axis=1)
+    hx = jnp.where(
+        sel_valid[..., None],
+        take(block_coords, order[..., None], axis=1),
+        big,
+    ).reshape(B * halo_cap, d)
+    hlab = jnp.where(
+        sel_valid, take(block_labels, order, axis=1), 0
+    ).reshape(B * halo_cap)
+    hvalid = sel_valid.reshape(B * halo_cap)
+    overflow = jnp.sum(
+        jnp.maximum(jnp.sum(is_halo.astype(jnp.int32), axis=1) - halo_cap, 0)
+    )
+    return hx, hlab, hvalid, overflow
+
+
+def union_ids(hx, hlab, hvalid, n_used, eps: float, metric: str,
+              max_ids: int):
+    """Scatter-min union-find over cluster ids implied by halo adjacency.
+
+    Returns dict(remap i32[max_ids], n_after, idmap)."""
+    dist = pairwise(hx, hx, metric)
+    adj = (
+        (dist <= eps)
+        & hvalid[:, None]
+        & hvalid[None, :]
+        & (hlab[:, None] != hlab[None, :])
+    )
+    idm0 = jnp.arange(max_ids, dtype=jnp.int32)
+    lab_idx = jnp.clip(hlab, 0, max_ids - 1)
+
+    def body(state):
+        idm, _, it = state
+        cur = idm[lab_idx]
+        nbr_min = jnp.min(
+            jnp.where(adj, cur[None, :], jnp.int32(max_ids)), axis=1
+        )
+        new_val = jnp.minimum(cur, nbr_min)
+        idm_new = idm.at[lab_idx].min(
+            jnp.where(hvalid, new_val, jnp.int32(max_ids))
+        )
+        idm_new = idm_new.at[0].set(0)
+        idm_new = jnp.minimum(idm_new, idm_new[idm_new])  # path compression
+        return idm_new, jnp.any(idm_new != idm), it + 1
+
+    idm1, ch1, it1 = body((idm0, jnp.array(True), jnp.int32(0)))
+    idm, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < 32), body, (idm1, ch1, it1)
+    )
+
+    ids = jnp.arange(max_ids)
+    used = (ids >= 1) & (ids <= n_used)
+    survivor = used & (idm == ids)
+    new_id = jnp.cumsum(survivor.astype(jnp.int32))
+    remap = jnp.where(used, new_id[idm], 0).astype(jnp.int32)
+    remap = remap.at[0].set(0)
+    return {
+        "remap": remap,
+        "n_after": jnp.sum(survivor.astype(jnp.int32)),
+        "idmap": idm,
+    }
 
 
 @partial(jax.jit, static_argnames=("eps", "metric", "halo_cap", "max_ids"))
@@ -39,100 +124,15 @@ def halo_merge_labels(
     halo_cap: int = 64,
     max_ids: int = 4096,
 ):
-    """Merge global cluster ids across block boundaries.
+    """Single-device halo merge over [B, cap] blocks with GLOBAL ids.
 
-    Args:
-      block_coords: [B, cap, D] metric coords.
-      block_valid:  [B, cap].
-      block_labels: [B, cap] i32 GLOBAL ids (from merge_blocks).
-      block_core:   [B, cap] core flags (from dbscan_blocks).
-
-    Returns dict:
-      remap     i32[max_ids] old id -> new dense id (0 -> 0)
-      n_after   i32[] cluster count after merging
-      halo_overflow i32[] boundary points beyond halo_cap per block (missed
-                    merge evidence -- enlarge halo_cap if nonzero)
-    """
-    B, cap, d = block_coords.shape
-    halo_cap = min(halo_cap, cap)
-    big = jnp.asarray(1e30, block_coords.dtype)
-
-    # block bboxes over valid points
-    lo = jnp.min(jnp.where(block_valid[..., None], block_coords, big), axis=1)
-    hi = jnp.max(jnp.where(block_valid[..., None], block_coords, -big), axis=1)
-    near_edge = jnp.any(
-        (block_coords - lo[:, None, :] <= eps)
-        | (hi[:, None, :] - block_coords <= eps),
-        axis=-1,
+    Returns dict(remap, n_after, halo_overflow, idmap); see union_ids."""
+    hx, hlab, hvalid, overflow = halo_buffers(
+        block_coords, block_valid, block_labels, block_core, eps, halo_cap
     )
-    is_halo = block_valid & near_edge & block_core & (block_labels > 0)
-
-    # pack up to halo_cap boundary points per block (stable slot order)
-    slot_key = jnp.where(is_halo, jnp.arange(cap)[None, :], cap)
-    order = jnp.argsort(slot_key, axis=1, stable=True)[:, :halo_cap]
-    take = jnp.take_along_axis
-    sel_valid = take(is_halo, order, axis=1)
-    hx = jnp.where(
-        sel_valid[..., None],
-        take(block_coords, order[..., None], axis=1),
-        big,
-    ).reshape(B * halo_cap, d)
-    hlab = jnp.where(
-        sel_valid, take(block_labels, order, axis=1), 0
-    ).reshape(B * halo_cap)
-    hvalid = sel_valid.reshape(B * halo_cap)
-    halo_overflow = jnp.sum(
-        jnp.maximum(
-            jnp.sum(is_halo.astype(jnp.int32), axis=1) - halo_cap, 0
-        )
-    )
-
-    # eps-adjacency between core boundary points of DIFFERENT clusters
-    dist = pairwise(hx, hx, metric)
-    adj = (
-        (dist <= eps)
-        & hvalid[:, None]
-        & hvalid[None, :]
-        & (hlab[:, None] != hlab[None, :])
-    )
-
-    # scatter-min union-find over the id table
-    idm0 = jnp.arange(max_ids, dtype=jnp.int32)
-
-    def body(state):
-        idm, _, it = state
-        cur = idm[jnp.clip(hlab, 0, max_ids - 1)]
-        nbr_min = jnp.min(
-            jnp.where(adj, cur[None, :], jnp.int32(max_ids)), axis=1
-        )
-        new_val = jnp.minimum(cur, nbr_min)
-        idm_new = idm.at[jnp.clip(hlab, 0, max_ids - 1)].min(
-            jnp.where(hvalid, new_val, jnp.int32(max_ids))
-        )
-        idm_new = idm_new.at[0].set(0)
-        # path compression
-        idm_new = jnp.minimum(idm_new, idm_new[idm_new])
-        return idm_new, jnp.any(idm_new != idm), it + 1
-
-    idm1, ch1, it1 = body((idm0, jnp.array(True), jnp.int32(0)))
-    idm, _, _ = jax.lax.while_loop(
-        lambda s: s[1] & (s[2] < 32), body, (idm1, ch1, it1)
-    )
-
-    # densify over the ids actually in use (merge_blocks hands out the
-    # contiguous range 1..n_used); unused table tail maps to 0
-    ids = jnp.arange(max_ids)
-    used = (ids >= 1) & (ids <= n_used)
-    survivor = used & (idm == ids)
-    new_id = jnp.cumsum(survivor.astype(jnp.int32))
-    remap = jnp.where(used, new_id[idm], 0).astype(jnp.int32)
-    remap = remap.at[0].set(0)
-    return {
-        "remap": remap,
-        "n_after": jnp.sum(survivor.astype(jnp.int32)),
-        "halo_overflow": halo_overflow,
-        "idmap": idm,
-    }
+    out = union_ids(hx, hlab, hvalid, n_used, eps, metric, max_ids)
+    out["halo_overflow"] = overflow
+    return out
 
 
 def apply_halo_merge(labels, remap):

@@ -43,12 +43,20 @@ def sharded_blocked_dbscan(
     min_cluster_size: int = 3,
     quirks: bool = True,
     noise_capacity_per_device: int = 1024,
+    halo_merge: bool = False,
+    halo_cap: int = 64,
+    max_ids: int = 4096,
     axis: str = "blocks",
 ):
     """Distributed blocked DBSCAN + fusion.
 
     block_coords: [B, cap, D], block_valid: [B, cap]; B must divide by the
     mesh size. Returns (global block labels [B, cap], n_total).
+
+    halo_merge=True additionally all_gathers per-device eps-shell halo
+    buffers and runs the replicated union-find (cluster.halo_fusion) so
+    clusters split across blocks/devices unify -- the payload on the
+    interconnect is the boundary shell only.
     """
     B, cap, D = block_coords.shape
     ndev = mesh.shape[axis]
@@ -124,7 +132,25 @@ def sharded_blocked_dbscan(
         flat_gid = flat_gid.at[order].set(
             jnp.where(sel_valid, my_re, flat_gid[order])
         )
-        return flat_gid.reshape(bloc, cap), n_total[None]
+        out_labels = flat_gid.reshape(bloc, cap)
+
+        if halo_merge:
+            from ..cluster.halo_fusion import (
+                halo_buffers, union_ids, apply_halo_merge,
+            )
+
+            hx, hlab, hval, _ = halo_buffers(
+                coords_loc, valid_loc, out_labels,
+                db["core"], eps, halo_cap,
+            )
+            hx = jax.lax.all_gather(hx, axis).reshape(-1, D)
+            hlab = jax.lax.all_gather(hlab, axis).reshape(-1)
+            hval = jax.lax.all_gather(hval, axis).reshape(-1)
+            uni = union_ids(hx, hlab, hval, n_total, eps, metric, max_ids)
+            out_labels = apply_halo_merge(out_labels, uni["remap"])
+            n_total = uni["n_after"]
+
+        return out_labels, n_total[None]
 
     out_labels, n_total = jax.jit(
         shard_map(
