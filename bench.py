@@ -55,6 +55,15 @@ def synthetic_cloud(n, seed=0, noise_frac=0.006):
 
 def tpu_pipeline():
     import jax
+
+    # persistent compile cache: repeat bench runs skip the ~minutes-long
+    # XLA compile over the device tunnel
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
     import jax.numpy as jnp
     from vtkcloudpoint_tpu.cluster.blocks import (
         assign_blocks_balanced, gather_blocks_ordered,

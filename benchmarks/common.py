@@ -1,0 +1,66 @@
+"""Shared benchmark utilities: synthetic clouds, timing, JSON output."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def setup_jax(force_cpu_devices: int | None = None):
+    """--cpu N on any tier script forces N virtual CPU devices."""
+    import jax
+
+    if force_cpu_devices is None and "--cpu" in sys.argv:
+        force_cpu_devices = int(sys.argv[sys.argv.index("--cpu") + 1])
+    if force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={force_cpu_devices}"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+    except Exception:
+        pass
+    return jax
+
+
+def blob_cloud(n, k=600, spread=0.0008, noise_frac=0.006, seed=0,
+               dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    n_noise = int(n * noise_frac)
+    nc = n - n_noise
+    centers = rng.uniform(0.02, 0.98, size=(k, 2))
+    per = nc // k
+    pts = [centers[i] + spread * rng.standard_normal((per, 2))
+           for i in range(k)]
+    pts.append(rng.uniform(0, 1, size=(nc - per * k, 2)))
+    pts.append(rng.uniform(0, 1, size=(n_noise, 2)))
+    motor = np.concatenate(pts)[:n].astype(dtype)
+    xyz = np.concatenate([motor, np.ones((n, 1), dtype)], axis=1)
+    truth = np.concatenate([centers, np.ones((k, 1))], axis=1).astype(dtype)
+    return motor, xyz, truth, centers
+
+
+def timed(fn, sync, repeats=3):
+    """Best-of-N wall time with explicit host-transfer sync."""
+    out = fn()
+    sync(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        sync(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def emit(**kw):
+    print(json.dumps(kw))

@@ -1,0 +1,92 @@
+"""Tier 5 (BASELINE.json config 5): sharded map, distributed DBSCAN + ICP.
+
+Weak-scaling sweep over the available devices (real chips if present, else
+virtual CPU devices via --cpu N): per-device work is held constant while the
+mesh grows; efficiency = T(1) / T(n). On virtual CPU devices the numbers
+validate the program structure, not hardware scaling (single real chip in
+this environment; BASELINE's >=70% target needs a real multi-chip slice).
+"""
+import sys
+
+import numpy as np
+
+from common import setup_jax, emit
+
+BLOCKS_PER_DEV = 8
+CAP = 512
+N_ICP_PER_DEV = 8192
+
+
+def main():
+    jax = setup_jax()
+    import time
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.parallel.mesh import make_mesh
+    from vtkcloudpoint_tpu.parallel.sharded import (
+        sharded_blocked_dbscan, sharded_icp,
+    )
+    from vtkcloudpoint_tpu.cluster.blocks import (
+        assign_blocks_balanced, gather_blocks_ordered,
+    )
+    from vtkcloudpoint_tpu.config import ICPConfig
+    from common import blob_cloud
+
+    ndev_all = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8) if d <= ndev_all]
+    base_t = None
+    for ndev in sizes:
+        mesh = make_mesh(ndev)
+        B = BLOCKS_PER_DEV * ndev
+        n = B * CAP
+        motor, xyz, truth, centers = blob_cloud(
+            n, k=max(n // 800, 8), seed=3)
+        valid = jnp.ones(n, bool)
+        part = assign_blocks_balanced(jnp.asarray(motor), valid, CAP)
+        bc, bv, pidx, _ = gather_blocks_ordered(
+            jnp.asarray(motor), part["order"], valid, B, CAP)
+
+        def run():
+            labels, n_total = sharded_blocked_dbscan(
+                mesh, bc, bv, eps=0.004, min_pts=8, quirks=False,
+                noise_capacity_per_device=1024, halo_merge=True,
+                max_ids=4096)
+            return labels, n_total
+
+        labels, n_total = run()
+        _ = np.asarray(labels[:1, :8])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            labels, n_total = run()
+            _ = np.asarray(labels[:1, :8])
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts)
+        pps = n / dt
+        if base_t is None:
+            base_t = dt
+        emit(metric="tier5_sharded_dbscan", devices=ndev, points=n,
+             points_per_sec=round(pps, 1), wall_ms=round(dt * 1000, 1),
+             weak_scaling_eff=round(base_t / dt, 3),
+             n_clusters=int(n_total))
+
+    # distributed ICP at the largest mesh
+    ndev = sizes[-1]
+    mesh = make_mesh(ndev)
+    n_icp = N_ICP_PER_DEV * ndev
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, size=(n_icp, 3)).astype(np.float32)
+    from vtkcloudpoint_tpu.ops import se3
+    tgt = (src @ np.asarray(se3.rotz(0.1), np.float32).T
+           + np.float32([0.2, -0.1, 0.05]))
+    t0 = time.perf_counter()
+    r, t, d, it = sharded_icp(
+        mesh, jnp.asarray(src), jnp.ones(n_icp, bool), jnp.asarray(tgt),
+        jnp.ones(n_icp, bool), ICPConfig(tol=1e-10))
+    err = float(d)
+    dt = time.perf_counter() - t0
+    emit(metric="tier5_sharded_icp", devices=ndev, points=n_icp,
+         error=err, iters=int(it), wall_s=round(dt, 2))
+
+
+if __name__ == "__main__":
+    main()

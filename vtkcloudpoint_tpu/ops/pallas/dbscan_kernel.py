@@ -127,8 +127,9 @@ def dbscan_blocks_pallas(block_coords, block_valid, eps: float, min_pts: int,
             # satisfies the latter.
             pl.BlockSpec((1, 1, cap), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
+            # scalar per block -> SMEM (scalar stores to VMEM are invalid)
             pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
