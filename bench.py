@@ -61,7 +61,7 @@ def tpu_pipeline():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
+                                         "/tmp/jaxcache") + "-dev")
     except Exception:
         pass
     import jax.numpy as jnp

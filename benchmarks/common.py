@@ -24,9 +24,9 @@ def setup_jax(force_cpu_devices: int | None = None):
         ).strip()
         jax.config.update("jax_platforms", "cpu")
     try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
+        base = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+        plat = "cpu" if force_cpu_devices else "dev"
+        jax.config.update("jax_compilation_cache_dir", f"{base}-{plat}")
     except Exception:
         pass
     return jax

@@ -12,9 +12,11 @@ import numpy as np
 
 from common import setup_jax, emit
 
-BLOCKS_PER_DEV = 8
-CAP = 512
-N_ICP_PER_DEV = 8192
+import os
+BLOCKS_PER_DEV = int(os.environ.get("BENCH_BLOCKS_PER_DEV", 8))
+CAP = int(os.environ.get("BENCH_CAP", 512))
+N_ICP_PER_DEV = int(os.environ.get("BENCH_ICP_PER_DEV", 8192))
+SIZES = tuple(int(x) for x in os.environ.get("BENCH_SIZES", "1,2,4,8").split(","))
 
 
 def main():
@@ -32,7 +34,7 @@ def main():
     from common import blob_cloud
 
     ndev_all = len(jax.devices())
-    sizes = [d for d in (1, 2, 4, 8) if d <= ndev_all]
+    sizes = [d for d in SIZES if d <= ndev_all]
     base_t = None
     for ndev in sizes:
         mesh = make_mesh(ndev)

@@ -249,3 +249,28 @@ def test_stopwatch_and_counters():
         sw.sync(x)
     assert sw.elapsed > 0
     assert dbscan_distance_evals(10, 256) == 10 * 256 * 256
+
+
+def test_progress_reporter():
+    from vtkcloudpoint_tpu.utils.progress import ProgressReporter
+    msgs = []
+    rep = ProgressReporter(total_stages=2, sink=msgs.append)
+    with rep.stage("a"):
+        pass
+    with rep.stage("b"):
+        pass
+    assert len(msgs) == 2 and "a" in rep.summary() and "b" in rep.summary()
+    assert msgs[0].startswith("[1/2]")
+
+
+def test_engine_cluster_grid(rng):
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.engine import Engine
+    from vtkcloudpoint_tpu.config import EngineConfig, ClusterConfig
+    from tests.conftest import make_blobs
+    motor = make_blobs(rng, n_clusters=4, pts_per=30, noise=20, spread=0.01)
+    eng = Engine(EngineConfig(cluster=ClusterConfig(eps=0.06, min_pts=9)))
+    batch = eng.import_arrays(motor, np.full(len(motor), 10.0))
+    out, stats = eng.cluster_grid(batch, cell_cap=64, max_clusters=64)
+    assert int(out["n_clusters"]) >= 3
+    assert int(out["overflow"]) == 0

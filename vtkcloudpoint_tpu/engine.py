@@ -77,6 +77,23 @@ class Engine:
                             mode=mode, quirks=quirks,
                             centroid_merge=centroid_merge, **defaults)
 
+    def cluster_grid(self, batch: PointBatch, cell_cap: int = 64,
+                     max_clusters: int = 4096):
+        """Tier-3 global path: grid-hash DBSCAN (no blocking) + centroids.
+        Bit-compatible with plain reference DBSCAN over the whole scan."""
+        from .cluster.grid import dbscan_grid
+        from .ops.segment import cluster_stats
+
+        out = dbscan_grid(batch.motor, batch.valid, self.cfg.cluster.eps,
+                          self.cfg.cluster.min_pts,
+                          self.cfg.cluster.metric
+                          if self.cfg.cluster.metric == "l1_motor"
+                          else "l1_motor",
+                          cell_cap=cell_cap)
+        stats = cluster_stats(batch.xyz, batch.motor, out["label"],
+                              batch.valid, max_clusters)
+        return out, stats
+
     def reject_by_radius(self, batch: PointBatch, result: ClusterResult,
                          radius: Optional[float] = None,
                          aspect: Optional[float] = None):
