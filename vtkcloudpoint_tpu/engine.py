@@ -36,6 +36,12 @@ from .register.matching import assign_matches, registration_rmse
 from .viz import vtkio
 
 
+def _live_clusters(result: ClusterResult):
+    """Valid centroid rows: nonempty AND not the noise row 0."""
+    k = result.count.shape[0]
+    return (result.count > 0) & (jnp.arange(k) > 0)
+
+
 class Engine:
     def __init__(self, cfg: EngineConfig = EngineConfig()):
         self.cfg = cfg
@@ -110,7 +116,7 @@ class Engine:
                      region_mask=None):
         """Extent auto-rescale of centroids to truth; optional region-subset
         truth rescale. Returns (centers_tmp [K,3], truth_tmp [M,3])."""
-        cvalid = result.count > 0
+        cvalid = _live_clusters(result)
         truth_xyz = jnp.asarray(truth_xyz)
         tvalid = jnp.ones(truth_xyz.shape[0], bool)
         tmp_xy, scale, bounds = auto_rescale_centers(
@@ -129,7 +135,7 @@ class Engine:
     def register_to_truth(self, result: ClusterResult, truth_xyz,
                           coarse: bool = True,
                           region_mask=None) -> ICPResult:
-        cvalid = result.count > 0
+        cvalid = _live_clusters(result)
         truth_xyz = jnp.asarray(truth_xyz)
         if coarse:
             src, tgt = self.coarse_align(result, truth_xyz, region_mask)
@@ -138,6 +144,10 @@ class Engine:
         else:
             src, tgt = result.center3d, truth_xyz
             tvalid = jnp.ones(truth_xyz.shape[0], bool)
+        if self.cfg.icp.ransac_iters > 0:
+            from .register.icp import icp_ransac
+
+            return icp_ransac(src, cvalid, tgt, tvalid, self.cfg.icp)
         if self.cfg.icp.num_starts > 1:
             return icp_multistart(src, cvalid, tgt, tvalid, self.cfg.icp)
         return icp(src, cvalid, tgt, tvalid, self.cfg.icp)
@@ -145,7 +155,7 @@ class Engine:
     def match(self, result: ClusterResult, truth_xyz, reg: ICPResult,
               coarse: bool = True, match_distance: Optional[float] = None):
         truth_xyz = jnp.asarray(truth_xyz)
-        cvalid = result.count > 0
+        cvalid = _live_clusters(result)
         if coarse:
             src, tgt = self.coarse_align(result, truth_xyz)
         else:
@@ -177,7 +187,7 @@ class Engine:
 
     def export_centroids(self, path: str, result: ClusterResult,
                          bit: int = 4):
-        live = np.asarray(result.count) > 0
+        live = np.asarray(_live_clusters(result))
         loaders.export_centroids(path, np.asarray(result.center3d)[live], bit)
 
     def export_cluster_points(self, path: str, batch: PointBatch,
