@@ -122,3 +122,35 @@ def test_slam_pipeline_end_to_end(rng):
     ate = float(absolute_trajectory_error(opt.r, opt.t, jnp.asarray(r_true),
                                           jnp.asarray(t_true)))
     assert ate < 1e-4, ate
+
+
+def test_voxel_downsample(rng):
+    from vtkcloudpoint_tpu.ops.voxel import voxel_downsample
+    # two tight groups of points -> two voxels at their means
+    a = np.array([1.05, 1.05, 0.25]) + 0.01 * rng.standard_normal((20, 3))
+    b = np.array([5.05, 5.05, 0.25]) + 0.01 * rng.standard_normal((30, 3))
+    xyz = np.concatenate([a, b])
+    pts, mask, nv = voxel_downsample(jnp.asarray(xyz), jnp.ones(50, bool),
+                                     voxel_size=0.5, table_size=256)
+    assert int(nv) == 2
+    got = np.sort(np.asarray(pts)[np.asarray(mask)], axis=0)
+    want = np.sort(np.stack([a.mean(0), b.mean(0)]), axis=0)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_scan_to_map_recovers_trajectory(rng):
+    from vtkcloudpoint_tpu.slam.scan2map import scan_to_map
+    s, n = 6, 150
+    scans, r_true, t_true = make_scans(s, n, rng)
+    valid = np.ones((s, n), bool)
+    traj, mapstate, errs = scan_to_map(jnp.asarray(scans), jnp.asarray(valid),
+                                       ICPConfig(tol=1e-14),
+                                       voxel_size=0.05, map_capacity=4096)
+    # map points are voxel means, so recovery is voxel-accuracy: the
+    # registered scan's points average into their voxels and shift targets
+    # by O(voxel) -- assert well under half a voxel
+    np.testing.assert_allclose(np.asarray(traj.t), t_true, atol=0.02)
+    np.testing.assert_allclose(np.asarray(traj.r), r_true, atol=0.02)
+    # errors should not blow up over the sequence (drift resistance)
+    e = np.asarray(errs)
+    assert e[-1] < 10 * max(e[0], 1e-12) + 1e-6
