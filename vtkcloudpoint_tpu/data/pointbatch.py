@@ -27,6 +27,9 @@ class PointBatch:
       label  i32[N]  cluster id, 0 = noise (Point3D.clusterId)
       mult   i32[N]  duplicate multiplicity (Point3D.ptsCount)
       valid  bool[N] padding mask (replaces dynamic List<> length)
+      path_id i32[N] source-file index (Point3D.pathId; drives the per-file
+                     visibility tree FrmMain.cs:2497-2609 and per-file range
+                     filtering FrmMain.cs:1116-1130)
     """
 
     xyz: jax.Array
@@ -35,6 +38,7 @@ class PointBatch:
     label: jax.Array
     mult: jax.Array
     valid: jax.Array
+    path_id: jax.Array
 
     @property
     def capacity(self) -> int:
@@ -54,6 +58,7 @@ class PointBatch:
             label=jnp.zeros((capacity,), jnp.int32),
             mult=jnp.ones((capacity,), jnp.int32),
             valid=jnp.zeros((capacity,), bool),
+            path_id=jnp.zeros((capacity,), jnp.int32),
         )
 
     @staticmethod
@@ -64,6 +69,7 @@ class PointBatch:
         label=None,
         mult=None,
         valid=None,
+        path_id=None,
         capacity: Optional[int] = None,
         dtype=jnp.float32,
     ) -> "PointBatch":
@@ -85,6 +91,7 @@ class PointBatch:
         label = np.zeros((n,), np.int32) if label is None else label
         mult = np.ones((n,), np.int32) if mult is None else mult
         valid = np.ones((n,), bool) if valid is None else valid
+        path_id = np.zeros((n,), np.int32) if path_id is None else path_id
         np_dt = np.dtype(jnp.dtype(dtype).name)
         return PointBatch(
             xyz=pad(xyz, 0.0, np_dt, (3,)),
@@ -93,6 +100,7 @@ class PointBatch:
             label=pad(label, 0, np.int32),
             mult=pad(mult, 1, np.int32),
             valid=pad(valid, False, bool),
+            path_id=pad(path_id, 0, np.int32),
         )
 
     def with_labels(self, label: jax.Array) -> "PointBatch":
@@ -110,6 +118,7 @@ class PointBatch:
             "rng": np.asarray(self.rng)[v],
             "label": np.asarray(self.label)[v],
             "mult": np.asarray(self.mult)[v],
+            "path_id": np.asarray(self.path_id)[v],
         }
 
 
@@ -123,5 +132,6 @@ def concat(batches: list, capacity: Optional[int] = None) -> PointBatch:
         rng=np.concatenate([p["rng"] for p in parts]),
         label=np.concatenate([p["label"] for p in parts]),
         mult=np.concatenate([p["mult"] for p in parts]),
+        path_id=np.concatenate([p["path_id"] for p in parts]),
         capacity=capacity,
     )

@@ -45,21 +45,45 @@ def _live_clusters(result: ClusterResult):
 class Engine:
     def __init__(self, cfg: EngineConfig = EngineConfig()):
         self.cfg = cfg
+        self.export_bit = 4  # decimal places for exports; import sniffs it
 
     # ---- ingestion (C2-C5) ----
 
     def import_folder(self, folder: str, pattern: str = "*.txt"):
-        return import_scan_folder(folder, self.cfg.imports, pattern)
+        batch, names = import_scan_folder(folder, self.cfg.imports, pattern)
+        # decimal-precision sniff on the first file drives export formatting
+        # (FrmMain.cs:984 "浮点位数" bit)
+        import glob as _glob
+        import os as _os
+
+        files = sorted(_glob.glob(_os.path.join(folder, pattern)))
+        if files:
+            self.export_bit = loaders.sniff_decimals(files[0])
+        return batch, names
 
     def import_arrays(self, motor, rng, capacity: Optional[int] = None):
         return import_scan_arrays(motor, rng, self.cfg.imports, capacity)
 
     def filter_by_distance(self, batch: PointBatch, dis_min: float,
-                           dis_max: float) -> PointBatch:
+                           dis_max: float, path_id: Optional[int] = None
+                           ) -> PointBatch:
         """Distance-window filter; confirm == the mask update itself
-        (Tools.FilterByDistance_* + cleanDataByDistance semantics)."""
+        (Tools.FilterByDistance_* + cleanDataByDistance semantics).
+
+        path_id limits the window to one source file -- the reference's
+        per-marker-file range gate (FrmMain.cs:1116-1130)."""
         keep = distance_window(batch.rng, dis_min, dis_max)
+        if path_id is not None:
+            keep = keep | (batch.path_id != path_id)
         return batch.with_valid(batch.valid & keep)
+
+    def set_file_visibility(self, batch: PointBatch, visible) -> PointBatch:
+        """Per-file show/hide -- the checkbox-tree analog
+        (treeView1_AfterCheck, FrmMain.cs:2497-2609). ``visible`` is a bool
+        array indexed by path_id."""
+        visible = jnp.asarray(visible, bool)
+        show = visible[jnp.clip(batch.path_id, 0, visible.shape[0] - 1)]
+        return batch.with_valid(batch.valid & show)
 
     # ---- clustering (C6-C15) ----
 
@@ -186,13 +210,21 @@ class Engine:
             vtkio.write_lines_vtk(prefix + "_matches.vtk", starts, ends)
 
     def export_centroids(self, path: str, result: ClusterResult,
-                         bit: int = 4):
+                         bit: Optional[int] = None):
         live = np.asarray(_live_clusters(result))
-        loaders.export_centroids(path, np.asarray(result.center3d)[live], bit)
+        loaders.export_centroids(path, np.asarray(result.center3d)[live],
+                                 bit if bit is not None else self.export_bit)
 
     def export_cluster_points(self, path: str, batch: PointBatch,
-                              result: ClusterResult, bit: int = 4):
+                              result: ClusterResult,
+                              bit: Optional[int] = None,
+                              path_id: Optional[int] = None):
+        """Cluster-point export; path_id restricts to one source file
+        (per-file export through the visibility tree, FrmMain.cs:2497-2609)."""
         v = np.asarray(batch.valid)
+        if path_id is not None:
+            v = v & (np.asarray(batch.path_id) == path_id)
         loaders.export_cluster_points(
             path, np.asarray(result.label)[v], np.asarray(batch.motor)[v],
-            np.asarray(batch.rng)[v], bit)
+            np.asarray(batch.rng)[v],
+            bit if bit is not None else self.export_bit)

@@ -29,20 +29,29 @@ def import_scan_arrays(
     cfg: ImportConfig = ImportConfig(),
     capacity: Optional[int] = None,
     dtype=jnp.float32,
+    path_id: Optional[np.ndarray] = None,
 ) -> PointBatch:
-    """Build a PointBatch from raw (motor, distance) host arrays."""
+    """Build a PointBatch from raw (motor, distance) host arrays.
+
+    path_id carries each point's source-file index (Point3D.pathId) through
+    the range gate and dedup; dedup keeps the FIRST occurrence's file, like
+    the reference's duplicate scan (FrmMain.cs:1063-1089)."""
     keep = np.asarray(range_gate(jnp.asarray(rng), cfg))
     motor = np.asarray(motor)[keep]
     rng = np.asarray(rng)[keep]
+    pid = None if path_id is None else np.asarray(path_id, np.int32)[keep]
     xyz = np.asarray(motor_to_xyz(jnp.asarray(motor), jnp.asarray(rng), cfg))
     mult = np.ones(len(xyz), np.int32)
     if cfg.dedup:
         idx, counts = dedup_exact(xyz)
         xyz, motor, rng = xyz[idx], motor[idx], rng[idx]
+        if pid is not None:
+            pid = pid[idx]
         mult = counts.astype(np.int32)
     cap = capacity or _round_capacity(len(xyz))
     return PointBatch.from_arrays(
-        xyz, motor=motor, rng=rng, mult=mult, capacity=cap, dtype=dtype
+        xyz, motor=motor, rng=rng, mult=mult, path_id=pid,
+        capacity=cap, dtype=dtype,
     )
 
 
@@ -55,7 +64,9 @@ def import_scan_folder(
 ):
     """Folder import (reference typpe 1/2 scan mode).
 
-    Returns (PointBatch, path_id i32[N-kept], names)."""
+    Returns (PointBatch with per-point path_id, names list indexed by
+    path_id)."""
     raw, pid, names = load_folder(folder, pattern)
-    batch = import_scan_arrays(raw[:, :2], raw[:, 2], cfg, capacity, dtype)
+    batch = import_scan_arrays(raw[:, :2], raw[:, 2], cfg, capacity, dtype,
+                               path_id=pid)
     return batch, names

@@ -68,29 +68,75 @@ def load_scan(path: str, use_native: bool = True) -> np.ndarray:
     return load_scan_txt(path, use_native)
 
 
+def read_text_lines(path: str):
+    """Read a text file's lines, GB2312-tolerant.
+
+    The reference decodes scan files via GB2312 (FileMap.ReadFile,
+    FileMap.cs:16-33 -- Chinese-locale scanner exports). Numeric content is
+    ASCII either way; this matters for marker/truth names. Try strict utf-8
+    first, then gb18030 (superset of GB2312/GBK), then latin-1 as a lossless
+    last resort."""
+    with open(path, "rb") as f:
+        raw = f.read()
+    for enc in ("utf-8", "gb18030", "latin-1"):
+        try:
+            return raw.decode(enc).splitlines()
+        except UnicodeDecodeError:
+            continue
+    return raw.decode("utf-8", errors="replace").splitlines()
+
+
+def sniff_decimals(path: str, default: int = 4) -> int:
+    """Decimal-precision sniff: digits after the last '.' in the FIRST
+    field of the first parseable line (FrmMain.cs:984: ``bit = ssss.Length -
+    ssss.LastIndexOf(".") - 1``). Drives export formatting precision."""
+    try:
+        for line in read_text_lines(path):
+            field = line.replace(",", " ").replace(";", " ").split()
+            if not field:
+                continue
+            s = field[0]
+            try:
+                float(s)
+            except ValueError:
+                continue
+            # C# semantics: LastIndexOf returns -1 when absent -> bit = len
+            return len(s) - s.rfind(".") - 1
+    except OSError:
+        pass
+    return default
+
+
 def load_scan_txt(path: str, use_native: bool = True) -> np.ndarray:
     """Parse a 3-column scan file -> float64 [N, 3] (motor_x, motor_y, dist)."""
     lib = _native_lib() if use_native else None
     if lib is not None:
         cap = max(lib.fastparse_count(path.encode(), 0), 16)
-        buf = np.empty((cap, 3), dtype=np.float64)
-        n = lib.fastparse_xyz(
-            path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            cap, 0,
-        )
-        if n >= 0:
-            return buf[:n].copy()
+        # fastparse_count is an exact per-line bound, so -2 (truncation)
+        # only fires on multi-row lines; grow and retry rather than silently
+        # degrading to the slow python parser
+        for _ in range(3):
+            buf = np.empty((cap, 3), dtype=np.float64)
+            n = lib.fastparse_xyz(
+                path.encode(),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                cap, 0,
+            )
+            if n >= 0:
+                return buf[:n].copy()
+            if n != -2:
+                break
+            cap *= 4
     # fallback: tolerant python parse (tab/space/comma separated)
     rows = []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        for line in f:
-            parts = line.replace(",", " ").replace(";", " ").split()
-            if len(parts) >= 3:
-                try:
-                    rows.append((float(parts[0]), float(parts[1]),
-                                 float(parts[2])))
-                except ValueError:
-                    continue
+    for line in read_text_lines(path):
+        parts = line.replace(",", " ").replace(";", " ").split()
+        if len(parts) >= 3:
+            try:
+                rows.append((float(parts[0]), float(parts[1]),
+                             float(parts[2])))
+            except ValueError:
+                continue
     return np.array(rows, dtype=np.float64).reshape(-1, 3)
 
 

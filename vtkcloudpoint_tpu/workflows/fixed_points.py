@@ -83,18 +83,21 @@ def match_by_name(names: list, truth_names: list, truth_xyz: np.ndarray):
 
 def parse_truth_csv(path: str):
     """Truth marker file: 'name x y z' or 'name,x,y,z' per line
-    (FixedPtsMatch_Export.cs:20-78). Returns (names, xyz [K,3])."""
+    (FixedPtsMatch_Export.cs:20-78). Returns (names, xyz [K,3]).
+    GB2312-tolerant decode (marker names are Chinese in the reference's
+    data; FileMap.cs:16-33)."""
+    from ..io.loaders import read_text_lines
+
     names, rows = [], []
-    with open(path, "r", encoding="utf-8", errors="replace") as f:
-        for line in f:
-            parts = line.replace(",", " ").split()
-            if len(parts) >= 4:
-                try:
-                    rows.append([float(parts[1]), float(parts[2]),
-                                 float(parts[3])])
-                except ValueError:
-                    continue
-                names.append(parts[0])
+    for line in read_text_lines(path):
+        parts = line.replace(",", " ").split()
+        if len(parts) >= 4:
+            try:
+                rows.append([float(parts[1]), float(parts[2]),
+                             float(parts[3])])
+            except ValueError:
+                continue
+            names.append(parts[0])
     return names, np.array(rows).reshape(-1, 3)
 
 
