@@ -30,6 +30,36 @@ def quat_to_rot(q):
     )
 
 
+def horn_from_moments(sw, sp, sy, spy):
+    """Horn solve from weighted moment sums (the psum-able form).
+
+    sw = sum w, sp = sum w p, sy = sum w y, spy = sum w p y^T. This is the
+    moment form used by the distributed ICP (parallel.sharded): each device
+    psum-reduces its local moments, then every device runs this identical
+    replicated 4x4 eigensolve. Mathematically equal to horn_solve (the
+    cross-covariance M = spy/sw - mean_p mean_y^T); kept as THE single
+    implementation so the sharded and single-device paths cannot drift.
+    """
+    dtype = spy.dtype
+    sw = jnp.maximum(sw, 1e-30)
+    mean_p = sp / sw
+    mean_y = sy / sw
+    m = spy / sw - jnp.outer(mean_p, mean_y)
+    a = m - m.T
+    delta = jnp.array([a[1, 2], a[2, 0], a[0, 1]])  # correct A[0,1] (vs ICP.cs:76)
+    tr = jnp.trace(m)
+    q_mat = jnp.zeros((4, 4), dtype)
+    q_mat = q_mat.at[0, 0].set(tr)
+    q_mat = q_mat.at[0, 1:].set(delta)
+    q_mat = q_mat.at[1:, 0].set(delta)
+    q_mat = q_mat.at[1:, 1:].set(m + m.T - tr * jnp.eye(3, dtype=dtype))
+    evals, evecs = jnp.linalg.eigh(q_mat)
+    q = evecs[:, jnp.argmax(evals)]
+    r = quat_to_rot(q)
+    t = mean_y - r @ mean_p
+    return r, t
+
+
 def horn_solve(p, y, weights=None):
     """Closed-form rigid alignment: find (R, t) minimizing sum w ||R p + t - y||^2.
 
@@ -46,19 +76,11 @@ def horn_solve(p, y, weights=None):
     pc = p - mean_p
     yc = y - mean_y
     # cross-covariance M = sum w (p - mp)(y - my)^T  (correct Horn: the mean
-    # term is SUBTRACTED, unlike reference ICP.cs:65-66)
+    # term is SUBTRACTED, unlike reference ICP.cs:65-66). Centering before
+    # the moment solve keeps the 4x4 well conditioned far from the origin.
     m = (pc * wn).T @ yc
-    a = m - m.T
-    delta = jnp.array([a[1, 2], a[2, 0], a[0, 1]])  # correct A[0,1] (vs ICP.cs:76)
-    tr = jnp.trace(m)
-    q_mat = jnp.zeros((4, 4), p.dtype)
-    q_mat = q_mat.at[0, 0].set(tr)
-    q_mat = q_mat.at[0, 1:].set(delta)
-    q_mat = q_mat.at[1:, 0].set(delta)
-    q_mat = q_mat.at[1:, 1:].set(m + m.T - tr * jnp.eye(3, dtype=p.dtype))
-    evals, evecs = jnp.linalg.eigh(q_mat)
-    q = evecs[:, jnp.argmax(evals)]
-    r = quat_to_rot(q)
+    zero3 = jnp.zeros(3, p.dtype)
+    r, _ = horn_from_moments(jnp.asarray(1.0, p.dtype), zero3, zero3, m)
     t = mean_y - r @ mean_p
     return r, t
 

@@ -204,22 +204,11 @@ def sharded_icp(
             return tot
 
         def horn_from_sums(tot):
-            sw = jnp.maximum(tot[0], 1e-30)
-            mp = tot[1:4] / sw
-            my = tot[4:7] / sw
-            m = tot[7:16].reshape(3, 3) / sw - jnp.outer(mp, my)
-            a = m - m.T
-            delta = jnp.array([a[1, 2], a[2, 0], a[0, 1]])
-            tr = jnp.trace(m)
-            q = jnp.zeros((4, 4), src_loc.dtype)
-            q = q.at[0, 0].set(tr)
-            q = q.at[0, 1:].set(delta)
-            q = q.at[1:, 0].set(delta)
-            q = q.at[1:, 1:].set(m + m.T - tr * jnp.eye(3, dtype=src_loc.dtype))
-            evals, evecs = jnp.linalg.eigh(q)
-            r1 = se3.quat_to_rot(evecs[:, jnp.argmax(evals)])
-            t1 = my - r1 @ mp
-            return r1, t1
+            # single shared moment-form solve (ops.se3) so the sharded and
+            # single-device paths cannot drift
+            return se3.horn_from_moments(
+                tot[0], tot[1:4], tot[4:7], tot[7:16].reshape(3, 3)
+            )
 
         def body(state):
             r, t, prev_d, it, _ = state
