@@ -152,3 +152,43 @@ def dbscan_blocks(
 
     labels, counts, cores = jax.lax.map(one, (coords, valid), batch_size=chunk)
     return {"label": labels, "n_clusters": counts, "core": cores}
+
+
+def resolve_backend(backend: str = "auto") -> str:
+    """Kernel-dispatch policy: 'pallas' on a real TPU, 'jnp' elsewhere.
+
+    'auto' picks the hand-written Pallas kernels only where they compile to
+    Mosaic (a TPU backend); on CPU/GPU the jnp path is both the faster and
+    the tested one. Explicit 'pallas'/'jnp' force a path (the pallas kernels
+    fall back to interpret mode off-TPU -- slow, for debugging only).
+    """
+    if backend == "auto":
+        try:
+            return "pallas" if jax.devices()[0].platform == "tpu" else "jnp"
+        except Exception:  # pragma: no cover
+            return "jnp"
+    if backend not in ("pallas", "jnp"):
+        raise ValueError(f"unknown backend {backend!r}")
+    return backend
+
+
+def dbscan_blocks_dispatch(
+    coords,
+    valid,
+    eps: float,
+    min_pts: int,
+    metric: str = "l1_motor",
+    max_iters: int = 64,
+    chunk: int = 64,
+    backend: str = "auto",
+):
+    """Backend-dispatched per-block DBSCAN (VERDICT r1 item 1).
+
+    Same contract as dbscan_blocks; on TPU routes to the fused VMEM Pallas
+    kernel (ops.pallas.dbscan_kernel), which is bit-equal by test.
+    """
+    if resolve_backend(backend) == "pallas":
+        from ..ops.pallas.dbscan_kernel import dbscan_blocks_pallas
+
+        return dbscan_blocks_pallas(coords, valid, eps, min_pts, metric)
+    return dbscan_blocks(coords, valid, eps, min_pts, metric, max_iters, chunk)

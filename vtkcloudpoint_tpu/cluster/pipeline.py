@@ -21,7 +21,7 @@ from .blocks import (
     assign_blocks_reference, assign_blocks_balanced, gather_blocks,
     gather_blocks_ordered,
 )
-from .dbscan import dbscan_blocks
+from .dbscan import dbscan_blocks_dispatch
 from .fusion import merge_blocks, merge_centroid_clusters
 
 
@@ -54,6 +54,7 @@ def cluster_scan(
     centroid_merge: bool = False,
     halo_merge: bool = False,
     halo_cap: int = 64,
+    backend: str = "auto",
 ):
     """Cluster one scan. Returns ClusterResult.
 
@@ -81,9 +82,9 @@ def cluster_scan(
             )
         )
 
-    db = dbscan_blocks(
+    db = dbscan_blocks_dispatch(
         block_coords, block_valid, cc.eps, cc.min_pts, cc.metric,
-        max_iters=cc.propagate_max_iters,
+        max_iters=cc.propagate_max_iters, backend=backend,
     )
 
     noise_capacity = min(noise_capacity, max_blocks * cc.block_capacity)

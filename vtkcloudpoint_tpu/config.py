@@ -85,7 +85,11 @@ class ParallelConfig:
     """Mesh / sharding layout (replaces reference ThreadPool fan-out, FrmMain.cs:1340-1399)."""
 
     mesh_axis: str = "blocks"
-    halo_width_eps: float = 1.0   # halo width in units of eps for cross-shard DBSCAN
+    # boundary-shell width (multiple of eps) packed into halo buffers
+    # (cluster.halo_fusion.halo_buffers shell_eps; >= 1.0 is sound)
+    halo_width_eps: float = 1.0
+    # max ppermute ring sweeps of the cross-shard id union-find
+    # (parallel.sharded._ring_union outer fixpoint bound)
     fixpoint_max_rounds: int = 16
 
 
@@ -98,6 +102,7 @@ class EngineConfig:
     slam: SLAMConfig = dataclasses.field(default_factory=SLAMConfig)
     parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
     dtype: str = "float32"        # compute dtype on TPU; oracles run float64
+    backend: str = "auto"         # kernel dispatch: auto | pallas | jnp
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

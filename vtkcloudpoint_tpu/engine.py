@@ -105,7 +105,8 @@ class Engine:
         defaults.update(caps)
         return cluster_scan(batch.xyz, batch.motor, batch.valid, self.cfg,
                             mode=mode, quirks=quirks,
-                            centroid_merge=centroid_merge, **defaults)
+                            centroid_merge=centroid_merge,
+                            backend=self.cfg.backend, **defaults)
 
     def cluster_grid(self, batch: PointBatch, cell_cap: int = 64,
                      max_clusters: int = 4096):
@@ -208,6 +209,25 @@ class Engine:
             starts = np.asarray(matches["matched_xyz"])[m]
             ends = np.asarray(truth_tmp)[np.asarray(matches["match_idx"])[m]]
             vtkio.write_lines_vtk(prefix + "_matches.vtk", starts, ends)
+
+    def screenshot(self, path: str, batch: PointBatch,
+                   result: Optional[ClusterResult] = None,
+                   view: str = "xy", width: int = 800, height: int = 600,
+                   point_size: int = 1):
+        """Headless scene snapshot to PNG + legend sidecar: the Tools.Screen
+        capture (Tools.cs:32-54), Show2DPoints motor view
+        (FrmMain.cs:542-674), and legend panel (:1981-2102) analogs in one
+        call. view: "xy" Cartesian or "motor" 2D motor space."""
+        from .viz.snapshot import snapshot_clusters
+
+        labels = (np.asarray(result.label) if result is not None
+                  else np.zeros(batch.capacity, np.int32))
+        counts = np.asarray(result.count) if result is not None else None
+        return snapshot_clusters(
+            path, xyz=np.asarray(batch.xyz), motor=np.asarray(batch.motor),
+            labels=labels, valid=np.asarray(batch.valid), view=view,
+            width=width, height=height, point_size=point_size,
+            counts=counts)
 
     def export_centroids(self, path: str, result: ClusterResult,
                          bit: Optional[int] = None):

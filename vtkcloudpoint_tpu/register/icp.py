@@ -38,14 +38,23 @@ class ICPResult(NamedTuple):
     converged: jax.Array
 
 
-def nn_correspond(query, ref, ref_valid, chunk: int = 2048):
+def nn_correspond(query, ref, ref_valid, chunk: int = 2048,
+                  backend: str = "auto"):
     """Nearest valid reference point for each query point.
 
     Returns (idx i32[N], sqdist f[N]). Tiled over query chunks so the [N, M]
     distance matrix never materializes fully (SURVEY.md C18 FindClosestPointSet
-    / the VTK point-locator role).
+    / the VTK point-locator role). On TPU dispatches to the tiled Pallas
+    running-argmin kernel (ops.pallas.neighbor.nn_pallas, bit-equal ties).
     """
+    from ..cluster.dbscan import resolve_backend
+
     n = query.shape[0]
+    if resolve_backend(backend) == "pallas":
+        from ..ops.pallas.neighbor import nn_pallas
+
+        idx, d2 = nn_pallas(query, ref, ref_valid)
+        return idx, d2.astype(query.dtype)
     bad = jnp.where(ref_valid, 0.0, jnp.inf)
 
     def one(q):
@@ -61,7 +70,7 @@ def nn_correspond(query, ref, ref_valid, chunk: int = 2048):
     return idx.reshape(-1)[:n], d2.reshape(-1)[:n]
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "backend"))
 def icp(
     source,
     source_valid,
@@ -71,6 +80,7 @@ def icp(
     r0=None,
     t0=None,
     chunk: int = 2048,
+    backend: str = "auto",
 ):
     """Register source onto target: find (R, t) with target ~= R source + t.
 
@@ -98,7 +108,7 @@ def icp(
     def body(state):
         r, t, prev_d, _, it, _ = state
         p = se3.apply_rigid(r, t, source)
-        idx, d2 = nn_correspond(p, target, target_valid, chunk)
+        idx, d2 = nn_correspond(p, target, target_valid, chunk, backend)
         y = target[idx]
         d = jnp.sum(jnp.where(source_valid, d2, 0.0))
         r1, t1 = solve(p, y, weights=w_src)
@@ -115,7 +125,7 @@ def icp(
     return ICPResult(r=r, t=t, error=d, iterations=it, converged=converged)
 
 
-@partial(jax.jit, static_argnames=("iters", "chunk"))
+@partial(jax.jit, static_argnames=("iters", "chunk", "backend"))
 def ransac_init(
     source,
     source_valid,
@@ -125,6 +135,7 @@ def ransac_init(
     iters: int = 64,
     key=None,
     chunk: int = 2048,
+    backend: str = "auto",
 ):
     """Congruent-pair RANSAC for a rigid 2D-dominant init (tier-3 extension;
     addresses the reference README's checkerboard local-minimum admission).
@@ -160,7 +171,7 @@ def ransac_init(
             jnp.linalg.norm(s2 - s1) - jnp.linalg.norm(t2 - t1)
         ) < 2.0 * inlier_threshold
         moved = se3.apply_rigid(r, t, source)
-        _, d2 = nn_correspond(moved, target, target_valid, chunk)
+        _, d2 = nn_correspond(moved, target, target_valid, chunk, backend)
         inliers = jnp.sum(
             jnp.where(
                 source_valid & (d2 < inlier_threshold**2), 1.0, 0.0
@@ -173,7 +184,7 @@ def ransac_init(
     return rs[best], ts[best], scores[best]
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "backend"))
 def icp_ransac(
     source,
     source_valid,
@@ -182,18 +193,19 @@ def icp_ransac(
     cfg: ICPConfig = ICPConfig(),
     key=None,
     chunk: int = 2048,
+    backend: str = "auto",
 ):
     """RANSAC init + ICP refine (cfg.ransac_iters hypotheses)."""
     r0, t0, _ = ransac_init(
         source, source_valid, target, target_valid,
         cfg.ransac_inlier_threshold, max(int(cfg.ransac_iters), 1), key,
-        chunk,
+        chunk, backend,
     )
     return icp(source, source_valid, target, target_valid, cfg,
-               r0=r0, t0=t0, chunk=chunk)
+               r0=r0, t0=t0, chunk=chunk, backend=backend)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk"))
+@partial(jax.jit, static_argnames=("cfg", "chunk", "backend"))
 def icp_multistart(
     source,
     source_valid,
@@ -202,12 +214,14 @@ def icp_multistart(
     cfg: ICPConfig = ICPConfig(),
     key=None,
     chunk: int = 2048,
+    backend: str = "auto",
 ):
     """Multi-start ICP: cfg.num_starts initial rotations (identity + uniform
     z-spins + random), keep the lowest-error run."""
     k = max(int(cfg.num_starts), 1)
     if k == 1:
-        return icp(source, source_valid, target, target_valid, cfg, chunk=chunk)
+        return icp(source, source_valid, target, target_valid, cfg,
+                   chunk=chunk, backend=backend)
     dtype = source.dtype
     n_z = (k + 1) // 2
     thetas = jnp.arange(n_z, dtype=dtype) * (2.0 * jnp.pi / max(n_z, 1))
@@ -218,7 +232,8 @@ def icp_multistart(
     r0s = jnp.concatenate([rz, rr], axis=0)
 
     def run(r0):
-        return icp(source, source_valid, target, target_valid, cfg, r0=r0, chunk=chunk)
+        return icp(source, source_valid, target, target_valid, cfg,
+                   r0=r0, chunk=chunk, backend=backend)
 
     results = jax.lax.map(run, r0s)
     best = jnp.argmin(results.error)
