@@ -26,10 +26,19 @@ def pairwise_signed_sum(a, b):
 
 
 def pairwise_sqdist(a, b):
-    """Squared L2 block via the |a|^2 - 2ab + |b|^2 expansion (MXU-friendly)."""
+    """Squared L2 block via the |a|^2 - 2ab + |b|^2 expansion (MXU-friendly).
+
+    precision=HIGHEST is load-bearing: the TPU MXU's default matmul truncates
+    inputs to bf16, and with |a|^2 ~ 10^2 the expansion's cancellation then
+    corrupts small distances by O(0.1) -- enough to return a WRONG nearest
+    neighbor. HIGHEST runs the 6-pass f32 matmul; NN results then match the
+    direct-difference form to f32 rounding."""
+    import jax
+
     a2 = jnp.sum(a * a, axis=-1)[:, None]
     b2 = jnp.sum(b * b, axis=-1)[None, :]
-    ab = jnp.dot(a, b.T, preferred_element_type=a.dtype)
+    ab = jnp.dot(a, b.T, preferred_element_type=a.dtype,
+                 precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(a2 - 2.0 * ab + b2, 0.0)
 
 

@@ -32,14 +32,29 @@ def scan_to_map(
     cfg: ICPConfig = ICPConfig(),
     voxel_size: float = 0.2,
     map_capacity: int = 16384,
+    nn: str = "auto",           # "auto" | "grid" | "brute"
+    grid_cell_size: float = None,
+    grid_cell_cap: int = 32,
+    grid_fallback_cap: int = 2048,
 ):
     """Sequentially register scans against the accumulated voxel map.
 
     scans: [S, N, 3] in their own frames. Returns (Trajectory, final
-    MapState). Pose of scan 0 is identity; its points seed the map.
+    MapState, per-scan errors). Pose of scan 0 is identity; its points seed
+    the map.
+
+    nn="grid" (auto-selected for maps > 8192 points) switches the ICP
+    correspondence from the O(N*M) brute scan to the grid-hash locator
+    (register.nn_grid, VERDICT r1 item 2) -- the map grid rebuilds each step
+    (the map changes), every query resolves exactly or falls back to brute
+    force up to grid_fallback_cap. Default cell size: 4 * voxel_size.
     """
     s, n, _ = scans.shape
     dtype = scans.dtype
+    if nn == "auto":
+        nn = "grid" if map_capacity > 8192 else "brute"
+    cell = float(grid_cell_size if grid_cell_size is not None
+                 else 4.0 * voxel_size)
 
     map_pts, map_mask, _ = voxel_downsample(
         scans[0], scan_valid[0], voxel_size, map_capacity
@@ -49,7 +64,15 @@ def scan_to_map(
         map_pts, map_mask, r_prev, t_prev = carry
         scan, sv = inp
         # init from the previous pose (smooth trajectories)
-        res = icp(scan, sv, map_pts, map_mask, cfg, r0=r_prev, t0=t_prev)
+        if nn == "grid":
+            from ..register.nn_grid import icp_grid
+
+            res, _ovf = icp_grid(
+                scan, sv, map_pts, map_mask, cfg, cell_size=cell,
+                cell_cap=grid_cell_cap, fallback_cap=grid_fallback_cap,
+                r0=r_prev, t0=t_prev)
+        else:
+            res = icp(scan, sv, map_pts, map_mask, cfg, r0=r_prev, t0=t_prev)
         world = se3.apply_rigid(res.r, res.t, scan)
         # merge into the map: re-voxelize map + new points together
         both = jnp.concatenate([map_pts, world])
