@@ -17,6 +17,9 @@ BLOCKS_PER_DEV = int(os.environ.get("BENCH_BLOCKS_PER_DEV", 8))
 CAP = int(os.environ.get("BENCH_CAP", 512))
 N_ICP_PER_DEV = int(os.environ.get("BENCH_ICP_PER_DEV", 8192))
 SIZES = tuple(int(x) for x in os.environ.get("BENCH_SIZES", "1,2,4,8").split(","))
+NOISE_CAP = int(os.environ.get("BENCH_NOISE_CAP", 1024))
+HALO_CAP = int(os.environ.get("BENCH_HALO_CAP", 64))
+REPS = int(os.environ.get("BENCH_REPS", 3))
 
 
 def main():
@@ -48,19 +51,19 @@ def main():
             jnp.asarray(motor), part["order"], valid, B, CAP)
 
         def run():
-            labels, n_total = sharded_blocked_dbscan(
+            return sharded_blocked_dbscan(
                 mesh, bc, bv, eps=0.004, min_pts=8, quirks=False,
-                noise_capacity_per_device=1024, halo_merge=True,
-                max_ids=4096)
-            return labels, n_total
+                noise_capacity_per_device=NOISE_CAP, halo_merge=True,
+                max_ids=4096, halo_cap=HALO_CAP, halo_mode="ring",
+                noise_recluster="grid")
 
-        labels, n_total = run()
-        _ = np.asarray(labels[:1, :8])
+        out = run()
+        _ = np.asarray(out["label"][:1, :8])
         ts = []
-        for _ in range(3):
+        for _ in range(REPS):
             t0 = time.perf_counter()
-            labels, n_total = run()
-            _ = np.asarray(labels[:1, :8])
+            out = run()
+            _ = np.asarray(out["label"][:1, :8])
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
         pps = n / dt
@@ -69,7 +72,9 @@ def main():
         emit(metric="tier5_sharded_dbscan", devices=ndev, points=n,
              points_per_sec=round(pps, 1), wall_ms=round(dt * 1000, 1),
              weak_scaling_eff=round(base_t / dt, 3),
-             n_clusters=int(n_total))
+             n_clusters=int(out["n_total"]),
+             noise_overflow=int(out["noise_overflow"]),
+             halo_overflow=int(out["halo_overflow"]))
 
     # distributed ICP at the largest mesh
     ndev = sizes[-1]

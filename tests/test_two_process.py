@@ -1,0 +1,87 @@
+"""Two-process jax.distributed smoke (VERDICT r1 item 10): the distributed
+DBSCAN (ring halo, grid noise re-cluster) over 2 processes x 4 virtual CPU
+devices equals the single-process 8-device run."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.two_process_common import make_case
+from vtkcloudpoint_tpu.parallel.mesh import make_mesh
+from vtkcloudpoint_tpu.parallel.sharded import sharded_blocked_dbscan
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_expected():
+    bc, bv = make_case()
+    mesh = make_mesh(8)
+    out = sharded_blocked_dbscan(
+        mesh, jnp.asarray(bc), jnp.asarray(bv), eps=0.08, min_pts=6,
+        quirks=False, noise_capacity_per_device=128, halo_merge=True,
+        halo_cap=64, max_ids=256, halo_mode="ring")
+    lab = np.asarray(out["label"], np.float64)
+    pos = np.arange(lab.size, dtype=np.float64).reshape(lab.shape)
+    return {
+        "n_total": int(out["n_total"]),
+        "noise_overflow": int(out["noise_overflow"]),
+        "halo_overflow": int(out["halo_overflow"]),
+        "sum_labels": float(lab.sum()),
+        "sum_weighted": float((lab * (pos + 1.0)).sum()),
+    }
+
+
+@pytest.mark.timeout(600)
+def test_two_process_matches_single(tmp_path):
+    expected = _single_process_expected()
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)       # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    worker = os.path.join(_REPO, "tests", "two_process_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=_REPO,
+        )
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("two-process smoke timed out")
+        logs.append(out.decode(errors="replace"))
+    for i, p in enumerate(procs):
+        if p.returncode != 0:
+            if "distributed" in logs[i].lower() and (
+                "unimplemented" in logs[i].lower()
+                or "not available" in logs[i].lower()
+            ):
+                pytest.skip(f"jax.distributed unsupported here: "
+                            f"{logs[i][-300:]}")
+            pytest.fail(f"worker {i} rc={p.returncode}\n{logs[i][-3000:]}")
+    results = []
+    for i in range(2):
+        with open(tmp_path / f"out_{i}.json") as f:
+            results.append(json.load(f))
+    assert results[0] == results[1]
+    assert results[0] == expected

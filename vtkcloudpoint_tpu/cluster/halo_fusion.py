@@ -28,11 +28,17 @@ from ..ops.metrics import pairwise
 
 
 def halo_buffers(block_coords, block_valid, block_labels, block_core,
-                 eps: float, halo_cap: int):
+                 eps: float, halo_cap: int, shell_eps: float = None):
     """Pack core boundary points into [B*halo_cap] buffers.
+
+    ``shell_eps`` is the boundary-shell width (>= eps guarantees every
+    cross-boundary core pair is captured; ParallelConfig.halo_width_eps
+    scales it for extra margin). Defaults to eps.
 
     Returns (hx [M, D], hlab i32[M], hvalid bool[M], halo_overflow i32[]).
     """
+    if shell_eps is None:
+        shell_eps = eps
     B, cap, d = block_coords.shape
     halo_cap = min(halo_cap, cap)
     big = jnp.asarray(1e30, block_coords.dtype)
@@ -40,8 +46,8 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     lo = jnp.min(jnp.where(block_valid[..., None], block_coords, big), axis=1)
     hi = jnp.max(jnp.where(block_valid[..., None], block_coords, -big), axis=1)
     near_edge = jnp.any(
-        (block_coords - lo[:, None, :] <= eps)
-        | (hi[:, None, :] - block_coords <= eps),
+        (block_coords - lo[:, None, :] <= shell_eps)
+        | (hi[:, None, :] - block_coords <= shell_eps),
         axis=-1,
     )
     is_halo = block_valid & near_edge & block_core & (block_labels > 0)
