@@ -124,12 +124,110 @@ def build_pose_graph(r_rel, t_rel, li, lj, r_loop, t_loop,
 def slam_pipeline(scans, scan_valid, icp_cfg: ICPConfig = ICPConfig(),
                   loop_radius: float = 5.0, gn_iterations: int = 10,
                   damping: float = 1e-6):
-    """Full tier-4 pipeline: odometry -> loop closures -> pose-graph solve."""
+    """Full tier-4 pipeline: odometry -> loop closures -> pose-graph solve
+    (block-sparse GN, slam.ba)."""
+    from .ba import optimize_pose_graph_sparse
+
     (r_rel, t_rel), traj = odometry_chain(scans, scan_valid, icp_cfg)
     li, lj = detect_loop_closures(traj, loop_radius)
     r_loop, t_loop = closure_edges(scans, scan_valid, traj, li, lj, icp_cfg)
     graph = build_pose_graph(r_rel, t_rel, li, lj, r_loop, t_loop)
-    r_opt, t_opt, cost = optimize_pose_graph(
+    r_opt, t_opt, cost = optimize_pose_graph_sparse(
+        traj.r, traj.t, graph, iterations=gn_iterations, damping=damping
+    )
+    return Trajectory(r_opt, t_opt), traj, cost
+
+
+def odometry_chain_checkpointed(scans, scan_valid, manager,
+                                cfg: ICPConfig = ICPConfig(),
+                                every: int = 10, max_chunks=None):
+    """Resumable odometry: ICP pair edges computed ``every`` at a time, each
+    chunk checkpointed through a utils.checkpoint.CheckpointManager.
+
+    Per-pair ICP edges are independent, so the chunked run is bit-identical
+    to odometry_chain. On restart the latest checkpoint restores and work
+    continues from the first uncomputed pair. ``max_chunks`` bounds how many
+    chunks this CALL computes (a kill/preemption stand-in for tests).
+
+    Returns ((r_rel, t_rel), n_done) -- n_done == S-1 means complete.
+    """
+    s = scans.shape[0]
+    n_pairs = s - 1
+    dt = scans.dtype
+    template = (jnp.zeros((n_pairs, 3, 3), dt), jnp.zeros((n_pairs, 3), dt),
+                jnp.zeros((), jnp.int32))
+    state, _ = manager.restore_latest(template)
+    if state is None:
+        r_rel = jnp.tile(jnp.eye(3, dtype=dt)[None], (n_pairs, 1, 1))
+        t_rel = jnp.zeros((n_pairs, 3), dt)
+        done = 0
+    else:
+        r_rel, t_rel, done = state
+        r_rel, t_rel, done = jnp.asarray(r_rel), jnp.asarray(t_rel), int(done)
+
+    def pair(prev_next):
+        prev, pv, nxt, nv = prev_next
+        res = icp(nxt, nv, prev, pv, cfg)
+        return res.r, res.t
+
+    chunks = 0
+    while done < n_pairs:
+        if max_chunks is not None and chunks >= max_chunks:
+            break
+        end = min(done + every, n_pairs)
+        rr, tr = jax.lax.map(
+            pair,
+            (scans[done:end], scan_valid[done:end],
+             scans[done + 1:end + 1], scan_valid[done + 1:end + 1]),
+        )
+        r_rel = r_rel.at[done:end].set(rr)
+        t_rel = t_rel.at[done:end].set(tr)
+        done = end
+        manager.save(done, (r_rel, t_rel, jnp.asarray(done, jnp.int32)))
+        chunks += 1
+    return (r_rel, t_rel), done
+
+
+def slam_pipeline_checkpointed(scans, scan_valid, ckpt_dir: str,
+                               icp_cfg: ICPConfig = ICPConfig(),
+                               every: int = 10, loop_radius: float = 5.0,
+                               gn_iterations: int = 10, damping: float = 1e-6,
+                               max_chunks=None):
+    """slam_pipeline with save/resume through ``ckpt_dir`` (VERDICT r1
+    item 9): odometry checkpoints every ``every`` pairs; a killed run picks
+    up from the last checkpoint and the final trajectory is bit-identical
+    to the uninterrupted pipeline.
+
+    Returns None while interrupted (max_chunks hit before completion);
+    otherwise (Trajectory optimized, Trajectory odometry, cost)."""
+    from ..utils.checkpoint import CheckpointManager
+    from .ba import optimize_pose_graph_sparse
+
+    manager = CheckpointManager(ckpt_dir)
+    (r_rel, t_rel), done = odometry_chain_checkpointed(
+        scans, scan_valid, manager, icp_cfg, every, max_chunks)
+    if done < scans.shape[0] - 1:
+        return None
+
+    def compose(carry, rel):
+        rw, tw = carry
+        rr, tr = rel
+        rn = rw @ rr
+        tn = rw @ tr + tw
+        return (rn, tn), (rn, tn)
+
+    dt = scans.dtype
+    (_, _), (r_acc, t_acc) = jax.lax.scan(
+        compose, (jnp.eye(3, dtype=dt), jnp.zeros(3, dt)), (r_rel, t_rel)
+    )
+    traj = Trajectory(
+        jnp.concatenate([jnp.eye(3, dtype=dt)[None], r_acc]),
+        jnp.concatenate([jnp.zeros((1, 3), dt), t_acc]),
+    )
+    li, lj = detect_loop_closures(traj, loop_radius)
+    r_loop, t_loop = closure_edges(scans, scan_valid, traj, li, lj, icp_cfg)
+    graph = build_pose_graph(r_rel, t_rel, li, lj, r_loop, t_loop)
+    r_opt, t_opt, cost = optimize_pose_graph_sparse(
         traj.r, traj.t, graph, iterations=gn_iterations, damping=damping
     )
     return Trajectory(r_opt, t_opt), traj, cost
