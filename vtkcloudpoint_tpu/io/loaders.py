@@ -35,13 +35,22 @@ def _native_lib():
     so = os.path.join(_NATIVE_DIR, "libfastparse.so")
     src = os.path.join(_NATIVE_DIR, "fastparse.cpp")
     try:
-        if (not os.path.exists(so)) or (
-            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(so)
-        ):
+        # rebuild keyed on source CONTENT (mtimes are unreliable after a
+        # checkout: equal stamps would silently keep a stale binary)
+        import hashlib
+
+        digest = hashlib.sha256(open(src, "rb").read()).hexdigest()[:16]
+        stamp = so + ".srchash"
+        stale = (not os.path.exists(so)) or (not os.path.exists(stamp)) or (
+            open(stamp).read().strip() != digest
+        )
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-o", so, src, "-lpthread"],
                 check=True, capture_output=True,
             )
+            with open(stamp, "w") as f:
+                f.write(digest)
         lib = ctypes.CDLL(so)
         lib.fastparse_xyz.restype = ctypes.c_long
         lib.fastparse_xyz.argtypes = [

@@ -152,33 +152,49 @@ def min_enclosing_circle(hull_pts, hull_valid):
     i2 = jnp.argmin(pair_r2.reshape(-1))
     best_pair_r2 = pair_r2.reshape(-1)[i2]
 
-    # triples
-    ii, jj, kk = jnp.meshgrid(
-        jnp.arange(h), jnp.arange(h), jnp.arange(h), indexing="ij"
+    # triples: scan over the first index i so the working set per step is
+    # [h, h] circles + an [h, h, h] containment check instead of the full
+    # [h^3] x [h] tensor (VERDICT r1 item 6: bound the memory; the min over
+    # all triples is identical).
+    jj = ar[:, None]
+    kk = ar[None, :]
+
+    def trip_step(carry, i):
+        best_r2_c, bcx_c, bcy_c = carry
+        a = pts[i]
+        cx3, cy3, r2_3 = _circumcircle(
+            a[None, None, :], pts[:, None, :], pts[None, :, :]
+        )  # [h, h]
+        r2_3 = jnp.where(jnp.isfinite(r2_3), r2_3, BIG)
+        trip_ok = (
+            (i < jj) & (jj < kk)
+            & hull_valid[i]
+            & hull_valid[jj]
+            & hull_valid[kk]
+        )
+        skip = (
+            (ar[None, None, :] == i)
+            | (ar[None, None, :] == jj[..., None])
+            | (ar[None, None, :] == kk[..., None])
+        )
+        enc = encloses(cx3, cy3, r2_3, skip) & trip_ok
+        r2m = jnp.where(enc, r2_3, BIG).reshape(-1)
+        b = jnp.argmin(r2m)
+        better = r2m[b] < best_r2_c
+        return (
+            jnp.where(better, r2m[b], best_r2_c),
+            jnp.where(better, cx3.reshape(-1)[b], bcx_c),
+            jnp.where(better, cy3.reshape(-1)[b], bcy_c),
+        ), None
+
+    (best_trip_r2, tcx, tcy), _ = jax.lax.scan(
+        trip_step, (jnp.asarray(BIG, pts.dtype), pts[0, 0], pts[0, 1]), ar
     )
-    trip_ok = (
-        (ii < jj)
-        & (jj < kk)
-        & hull_valid[ii]
-        & hull_valid[jj]
-        & hull_valid[kk]
-    )
-    cx3, cy3, r2_3 = _circumcircle(pts[ii], pts[jj], pts[kk])
-    r2_3 = jnp.where(jnp.isfinite(r2_3), r2_3, BIG)
-    trip_skip = (
-        (ar[None, None, None, :] == ii[..., None])
-        | (ar[None, None, None, :] == jj[..., None])
-        | (ar[None, None, None, :] == kk[..., None])
-    )
-    trip_enc = encloses(cx3, cy3, r2_3, trip_skip) & trip_ok
-    trip_r2 = jnp.where(trip_enc, r2_3, BIG)
-    i3 = jnp.argmin(trip_r2.reshape(-1))
-    best_trip_r2 = trip_r2.reshape(-1)[i3]
 
     use_trip = best_trip_r2 < best_pair_r2
     best_r2 = jnp.where(use_trip, best_trip_r2, best_pair_r2)
-    bcx = jnp.where(use_trip, cx3.reshape(-1)[i3], cx2.reshape(-1)[i2])
-    bcy = jnp.where(use_trip, cy3.reshape(-1)[i3], cy2.reshape(-1)[i2])
+    bcx = jnp.where(use_trip, tcx, cx2.reshape(-1)[i2])
+    bcy = jnp.where(use_trip, tcy, cy2.reshape(-1)[i2])
     none_found = best_r2 >= BIG
     radius = jnp.where(none_found, 0.0, jnp.sqrt(jnp.maximum(best_r2, 0.0)))
     bcx = jnp.where(none_found, hull_pts[0, 0], bcx)
@@ -226,13 +242,17 @@ def min_area_rect(hull_pts, hull_valid):
     )
 
 
-@partial(jax.jit, static_argnames=("max_hull", "min_points"))
-def cluster_shapes(points, valid, counts, max_hull: int = 64, min_points: int = 4):
+@partial(jax.jit, static_argnames=("max_hull", "min_points", "chunk_k"))
+def cluster_shapes(points, valid, counts, max_hull: int = 64,
+                   min_points: int = 4, chunk_k: int = 64):
     """Hull + MEC + min-rect for a batch of padded clusters.
 
     points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.
     Clusters with count < min_points get radius 0 (reference skips circles
     for clusters <= 3 points, Tools.cs:400-401).
+
+    Processed ``chunk_k`` clusters at a time; peak intermediate memory is
+    ~chunk_k * max_hull^3 * 4 B (67 MB at the defaults) regardless of K.
 
     Returns dict of [K]-shaped circle centers/radii and rect side lengths.
     """
@@ -243,7 +263,17 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64, min_points: int = 
         l0, l1, area = min_area_rect(hp, hv)
         return cx, cy, r, l0, l1, area
 
-    cx, cy, r, l0, l1, area = jax.vmap(one)(points, valid)
+    k = points.shape[0]
+    pad = (-k) % min(chunk_k, k)
+    pp = jnp.pad(points, ((0, pad), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    ck = min(chunk_k, k)
+    outs = jax.lax.map(
+        lambda args: jax.vmap(one)(*args),
+        (pp.reshape(-1, ck, *points.shape[1:]),
+         vp.reshape(-1, ck, valid.shape[1])),
+    )
+    cx, cy, r, l0, l1, area = [o.reshape(-1)[:k] for o in outs]
     skip = counts < min_points
     zero = jnp.zeros_like(r)
     return {
