@@ -168,6 +168,13 @@ def tpu_pipeline():
         )
         stage("full_job", backend=backend, **results[backend])
 
+    if len(results) == 2:
+        parity = (results["jnp"]["n_clusters"]
+                  == results["pallas"]["n_clusters"])
+        stage("backend_parity", n_clusters_equal=bool(parity))
+        if not parity:
+            # never report a fast-but-wrong number: fall back to jnp
+            results.pop("pallas")
     best = max(results, key=lambda b: results[b]["pts_per_sec"])
     stage("winner", backend=best)
     r = results[best]

@@ -1,0 +1,67 @@
+"""Grid-hash vs brute-force ICP correspondence crossover (VERDICT r1
+item 2 done-criterion): register a scan against targets of growing size and
+report wall time for both locators + transform agreement.
+
+Run on the real chip (default backend) or --cpu N.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+from common import setup_jax, emit
+
+SIZES = tuple(int(x) for x in os.environ.get(
+    "BENCH_NN_SIZES", "10000,100000,1000000").split(","))
+N_SRC = int(os.environ.get("BENCH_NN_SRC", 100_000))
+
+
+def main():
+    jax = setup_jax()
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.config import ICPConfig
+    from vtkcloudpoint_tpu.register.icp import icp
+    from vtkcloudpoint_tpu.register.nn_grid import icp_grid
+    from vtkcloudpoint_tpu.ops import se3
+
+    rng = np.random.default_rng(0)
+    cfg = ICPConfig(max_iterations=20, tol=1e-10)
+    r_true = np.asarray(se3.rotz(0.08), np.float32)
+    t_true = np.float32([0.3, -0.2, 0.1])
+
+    for m in SIZES:
+        tgt = (rng.uniform(0, 50, (m, 3)) * [1, 1, 0.1]).astype(np.float32)
+        src_idx = rng.integers(0, m, N_SRC)
+        src = ((tgt[src_idx] - t_true) @ r_true).astype(np.float32)
+        src += 0.01 * rng.standard_normal((N_SRC, 3)).astype(np.float32)
+        sv = jnp.ones(N_SRC, bool)
+        tv = jnp.ones(m, bool)
+        sj, tj = jnp.asarray(src), jnp.asarray(tgt)
+
+        def timed(fn, get_r):
+            out = fn()
+            _ = np.asarray(get_r(out))          # warmup + sync
+            t0 = time.perf_counter()
+            out = fn()
+            _ = np.asarray(get_r(out))
+            return out, time.perf_counter() - t0
+
+        res_b, dt_b = timed(lambda: icp(sj, sv, tj, tv, cfg, chunk=4096),
+                            lambda o: o.r)
+        (res_g, ovf), dt_g = timed(
+            lambda: icp_grid(sj, sv, tj, tv, cfg, cell_size=1.0,
+                             cell_cap=64, fallback_cap=4096),
+            lambda o: o[0].r)
+        dr = float(np.abs(np.asarray(res_b.r) - np.asarray(res_g.r)).max())
+        dt_ = float(np.abs(np.asarray(res_b.t) - np.asarray(res_g.t)).max())
+        emit(metric="tier3_nn_crossover", target_points=m,
+             source_points=N_SRC,
+             brute_wall_s=round(dt_b, 3), grid_wall_s=round(dt_g, 3),
+             speedup=round(dt_b / max(dt_g, 1e-9), 2),
+             max_abs_dR=round(dr, 7), max_abs_dt=round(dt_, 7),
+             grid_unresolved_overflow=int(ovf))
+
+
+if __name__ == "__main__":
+    main()

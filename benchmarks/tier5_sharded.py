@@ -20,6 +20,7 @@ SIZES = tuple(int(x) for x in os.environ.get("BENCH_SIZES", "1,2,4,8").split(","
 NOISE_CAP = int(os.environ.get("BENCH_NOISE_CAP", 1024))
 HALO_CAP = int(os.environ.get("BENCH_HALO_CAP", 64))
 REPS = int(os.environ.get("BENCH_REPS", 3))
+DB_CHUNK = int(os.environ.get("BENCH_DB_CHUNK", 16))
 
 
 def main():
@@ -50,12 +51,15 @@ def main():
         bc, bv, pidx, _ = gather_blocks_ordered(
             jnp.asarray(motor), part["order"], valid, B, CAP)
 
+        # id table sized for the blob count (k ~ n/800 clusters)
+        max_ids = 1 << max(12, (3 * n // 800).bit_length())
+
         def run():
             return sharded_blocked_dbscan(
                 mesh, bc, bv, eps=0.004, min_pts=8, quirks=False,
                 noise_capacity_per_device=NOISE_CAP, halo_merge=True,
-                max_ids=4096, halo_cap=HALO_CAP, halo_mode="ring",
-                noise_recluster="grid")
+                max_ids=max_ids, halo_cap=HALO_CAP, halo_mode="ring",
+                noise_recluster="grid", dbscan_chunk=DB_CHUNK)
 
         out = run()
         _ = np.asarray(out["label"][:1, :8])

@@ -1,15 +1,25 @@
 """Pallas TPU kernel: complete per-block DBSCAN in VMEM.
 
 One grid step = one block: coordinates load once, the [cap, cap] adjacency
-lives only in VMEM (never in HBM), the min-label fixpoint iterates on-chip
-under lax.while_loop, and every irregular data movement the algorithm needs
-(pointer-jump gather, root-rank lookup, row<->column transposes) becomes a
-matmul against a one-hot / identity / triangular matrix on the MXU --
-dynamic vector gathers and 1xN transposes are the operations Mosaic's VPU
-path dislikes, and a [cap, cap] @ [cap, 1] matmul is effectively free.
+lives only in VMEM (never in HBM), and the min-label fixpoint iterates
+on-chip under lax.while_loop as pure VPU min-sweeps -- converging in
+O(core-graph diameter) sweeps, each a masked row-min over the resident
+adjacency, with no HBM traffic in the loop.
+
+Mosaic facts this design is built on (probed on real v5e):
+- f32 [cap,1]<->[1,cap] transposes compile and are bit-exact (ONLY the bool
+  variant is unimplemented), so all row/column moves are plain swapaxes;
+- the MXU's default precision truncates inputs to bf16, which corrupts f32
+  coordinates and any gathered value > 256 -- the kernel's two matmuls
+  (root-rank prefix sum against a 0/1 triangle, one-hot rank gather) are
+  exact because 0/1 operands are bf16-exact and the value-carrying gather
+  runs at Precision.HIGHEST;
+- VMEM is 16 MB: peak residency here is the adjacency + one sweep temp
+  (~8 MB at cap=1024); an earlier variant that also kept identity/column
+  matrices for matmul-based transposes exceeded the limit.
 
 The whole kernel computes in float32: labels and ranks are integers <= cap
-(<= 2^24), exactly representable, so the MXU matmuls are bit-exact.
+(<= 2^24), exactly representable.
 
 Same semantics as cluster.dbscan.dbscan_padded (reference-ID-compatible);
 tested for bit-equality against it. Supports every engine metric
@@ -28,45 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 from .neighbor import _on_tpu
 
 
-def _t_col(row, eye):
-    """[1, cap] -> [cap, 1] transpose as an MXU matmul (eye @ row^T)."""
-    return jax.lax.dot_general(
-        eye, row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+def _t(x):
+    """Exact f32 transpose between [cap, 1] and [1, cap]."""
+    return jnp.swapaxes(x, 0, 1)
 
 
-def _t_row(col, eye):
-    """[cap, 1] -> [1, cap] transpose as an MXU matmul (col^T @ eye)."""
-    return jax.lax.dot_general(
-        col, eye, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-
-def _gather_mxu(values_col, indices_col_f, cols_f):
-    """values[indices] as one-hot matmul; all [cap, 1] / [cap, cap] f32."""
-    onehot = (cols_f == indices_col_f).astype(jnp.float32)
-    return jnp.dot(onehot, values_col, preferred_element_type=jnp.float32)
-
-
-def _adjacency(coords_ref, eye, *, eps, metric, nd, cap):
+def _adjacency(coords_ref, *, eps, metric, nd, cap):
     """[cap, cap] f32 eps-adjacency (1.0/0.0) for the block, valid-agnostic."""
     d = jnp.zeros((cap, cap), jnp.float32)
     if metric == "l1_motor":
         for k in range(nd):
             row = coords_ref[0, k:k + 1, :]                # [1, cap]
-            d = d + jnp.abs(_t_col(row, eye) - row)
+            d = d + jnp.abs(_t(row) - row)
         thr = eps
     elif metric == "signed_sum_xy":
         for k in range(nd):
             row = coords_ref[0, k:k + 1, :]
-            d = d + (_t_col(row, eye) - row)
+            d = d + (_t(row) - row)
         thr = eps
     else:  # l2: squared distance vs eps^2 (exact, no sqrt)
         for k in range(nd):
             row = coords_ref[0, k:k + 1, :]
-            diff = _t_col(row, eye) - row
+            diff = _t(row) - row
             d = d + diff * diff
         thr = eps * eps
     return (d <= thr).astype(jnp.float32)
@@ -74,33 +67,30 @@ def _adjacency(coords_ref, eye, *, eps, metric, nd, cap):
 
 def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
                    *, eps, min_pts, metric, nd, cap):
-    # Mosaic's tpu.iota is integer-only: build i32 and cast
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
-    eye = (rows_i == cols_i).astype(jnp.float32)
-    cols_f = cols_i.astype(jnp.float32)
     iota_col = jax.lax.broadcasted_iota(
         jnp.int32, (cap, 1), 0).astype(jnp.float32)
 
     v_row = valid_ref[0, 0:1, :]                       # [1, cap] f32 0/1
-    v_col = _t_col(v_row, eye)                         # [cap, 1]
-    adj = _adjacency(coords_ref, eye, eps=eps, metric=metric, nd=nd,
+    v_col = _t(v_row)
+    adj = _adjacency(coords_ref, eps=eps, metric=metric, nd=nd,
                      cap=cap) * v_col * v_row          # [cap, cap] f32 0/1
 
     counts = jnp.sum(adj, axis=1, keepdims=True)       # [cap, 1] f32 exact
     core_col = jnp.where((counts >= min_pts) & (v_col > 0.0), 1.0, 0.0)
-    core_row = _t_row(core_col, eye)
-    core_adj = adj * core_col * core_row               # f32 0/1
+    core_row = _t(core_col)
 
     inf = jnp.float32(cap)
     lab0 = jnp.where(core_col > 0.0, iota_col, inf)    # [cap, 1] f32
 
     def sweep(lab):
-        lab_row = _t_row(lab, eye)
-        nbr = jnp.where(core_adj > 0.0, lab_row, inf)
-        new = jnp.minimum(lab, jnp.min(nbr, axis=1, keepdims=True))
-        jumped = _gather_mxu(new, jnp.minimum(new, cap - 1.0), cols_f)
-        return jnp.where(new < inf, jnp.minimum(new, jumped), inf)
+        # min over core neighbors' labels; self included (adj diagonal is 1
+        # for valid points), so the running min never loses its own label.
+        # Pure VPU min-sweeps, O(core-graph diameter) iterations: a
+        # pointer-jumping variant (per-sweep one-hot MXU gather) was probed
+        # and stalled Mosaic's compile at cap=1024 -- not worth it.
+        nbr = jnp.where((adj * core_row) > 0.0, _t(lab), inf)
+        new = jnp.min(nbr, axis=1, keepdims=True)
+        return jnp.where(core_col > 0.0, jnp.minimum(lab, new), inf)
 
     def body(state):
         lab, _, it = state
@@ -115,20 +105,28 @@ def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
         cond, body, (lab1, jnp.any(lab1 != lab0), jnp.int32(1))
     )
 
-    # rank roots in index order: rank[i] = sum_{j<=i} is_root[j] (tri matmul)
+    # rank roots in index order: rank[i] = sum_{j<=i} is_root[j].
+    # 0/1 operands are bf16-exact, f32 accumulate => default precision exact.
     is_root = jnp.where((core_col > 0.0) & (lab == iota_col), 1.0, 0.0)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (cap, cap), 1)
     tri = (cols_i <= rows_i).astype(jnp.float32)
     rank = jnp.dot(tri, is_root, preferred_element_type=jnp.float32)
-    rank_at_root = _gather_mxu(rank, jnp.minimum(lab, cap - 1.0), cols_f)
+
+    # rank[lab] as a one-hot matmul; HIGHEST: gathered values reach cap,
+    # beyond bf16's 256-integer exactness
+    onehot = (cols_i.astype(jnp.float32)
+              == jnp.minimum(lab, cap - 1.0)).astype(jnp.float32)
+    rank_at_root = jnp.dot(onehot, rank, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     core_id = jnp.where(core_col > 0.0, rank_at_root, 0.0)   # [cap, 1]
 
     # border points take the MAX adjacent core id (dbscan.py rule 4)
-    core_id_row = _t_row(core_id, eye)
-    border_src = adj * core_row * core_id_row
+    border_src = adj * core_row * _t(core_id)
     border_id = jnp.max(border_src, axis=1, keepdims=True)
     label = jnp.where(core_col > 0.0, core_id,
                       jnp.where(v_col > 0.0, border_id, 0.0))
-    label_ref[0, 0, :] = _t_row(label, eye)[0, :].astype(jnp.int32)
+    label_ref[0, 0, :] = _t(label)[0, :].astype(jnp.int32)
     core_ref[0, 0, :] = core_row[0, :].astype(jnp.int32)
     nclus_ref[0, 0, 0] = jnp.sum(is_root).astype(jnp.int32)
 

@@ -155,6 +155,7 @@ def sharded_blocked_dbscan(
     halo_mode: str = "ring",         # "ring" | "gather"
     fixpoint_max_rounds: int = None,  # None -> ParallelConfig default
     halo_width_eps: float = None,     # shell width multiple of eps
+    dbscan_chunk: int = 64,          # per-device blocks in flight (jnp path)
 ):
     """Distributed blocked DBSCAN + fusion.
 
@@ -205,7 +206,8 @@ def sharded_blocked_dbscan(
     def fn(coords_loc, valid_loc):
         dev = jax.lax.axis_index(axis)
         db = dbscan_blocks_dispatch(
-            coords_loc, valid_loc, eps, min_pts, metric, backend=backend
+            coords_loc, valid_loc, eps, min_pts, metric,
+            chunk=dbscan_chunk, backend=backend
         )
         labels_loc = db["label"]
         counts_loc = local_fusion_ids(labels_loc, valid_loc, dev)

@@ -8,6 +8,8 @@ loop-closure ICP edge; the pose graph then relaxes drift globally
 """
 from __future__ import annotations
 
+import os
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -61,19 +63,31 @@ def odometry_chain(scans, scan_valid, cfg: ICPConfig = ICPConfig()):
 
 
 def detect_loop_closures(traj: Trajectory, radius: float, min_separation: int = 5):
-    """Host-side: scan pairs whose odometry positions are within ``radius``
-    and at least ``min_separation`` apart in sequence. Returns (i, j) arrays."""
-    t = np.asarray(traj.t)
-    s = len(t)
-    pairs = []
-    for i in range(s):
-        for j in range(i + min_separation, s):
-            if np.linalg.norm(t[i] - t[j]) < radius:
-                pairs.append((i, j))
-    if not pairs:
-        return np.zeros(0, np.int32), np.zeros(0, np.int32)
-    a = np.array(pairs, np.int32)
-    return a[:, 0], a[:, 1]
+    """Scan pairs whose odometry positions are within ``radius`` and at
+    least ``min_separation`` apart in sequence. Returns (i, j) arrays.
+
+    The pair test runs on-device as one [S, S] mask (the O(S^2) Python loop
+    of round 1 was the only host-side hot spot in the tier-4 chain); only
+    the final nonzero extraction crosses to the host, because downstream
+    closure_edges needs concrete pair counts to size its lax.map."""
+    li, lj, mask = loop_closure_mask(traj.t, radius, min_separation)
+    m = np.asarray(mask)
+    return np.asarray(li)[m].astype(np.int32), np.asarray(lj)[m].astype(np.int32)
+
+
+@partial(jax.jit, static_argnames=("min_separation",))
+def loop_closure_mask(positions, radius: float, min_separation: int = 5):
+    """Device-side all-pairs closure test. positions: [S, 3].
+
+    Returns (ii [P], jj [P], mask [P]) with P = S*(S-1)/2 upper-triangle
+    pairs in (i, j) lexicographic order -- fixed shapes, jit/scan-safe."""
+    s = positions.shape[0]
+    d2 = jnp.sum(
+        (positions[:, None, :] - positions[None, :, :]) ** 2, axis=-1
+    )
+    ii, jj = jnp.triu_indices(s, k=1)
+    mask = (jj - ii >= min_separation) & (d2[ii, jj] < radius * radius)
+    return ii.astype(jnp.int32), jj.astype(jnp.int32), mask
 
 
 def closure_edges(scans, scan_valid, traj: Trajectory, li, lj,
@@ -170,6 +184,9 @@ def odometry_chain_checkpointed(scans, scan_valid, manager,
         res = icp(nxt, nv, prev, pv, cfg)
         return res.r, res.t
 
+    from ..utils.resilience import Heartbeat
+
+    hb = Heartbeat(os.path.join(manager.directory, "heartbeat"))
     chunks = 0
     while done < n_pairs:
         if max_chunks is not None and chunks >= max_chunks:
@@ -184,6 +201,7 @@ def odometry_chain_checkpointed(scans, scan_valid, manager,
         t_rel = t_rel.at[done:end].set(tr)
         done = end
         manager.save(done, (r_rel, t_rel, jnp.asarray(done, jnp.int32)))
+        hb.beat(f"odometry {done}/{n_pairs}")
         chunks += 1
     return (r_rel, t_rel), done
 
