@@ -314,6 +314,9 @@ def sharded_blocked_dbscan(
             mesh=mesh,
             in_specs=(P(axis), P(axis)),
             out_specs=(P(axis), P(axis), P(axis), P(axis)),
+            # pallas_call outputs carry no varying-mesh-axes metadata; VMA
+            # checking would reject the per-shard kernel dispatch
+            check_vma=False,
         )
     )(block_coords, block_valid)
     return {
@@ -404,6 +407,7 @@ def sharded_icp(
             mesh=mesh,
             in_specs=(P(axis), P(axis), P(), P()),
             out_specs=(P(), P(), P(), P()),
+            check_vma=False,
         )
     )(source, source_valid, target, target_valid)
     return r[0], t[0], d[0], it[0]
