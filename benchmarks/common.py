@@ -49,6 +49,31 @@ def blob_cloud(n, k=600, spread=0.0008, noise_frac=0.006, seed=0,
     return motor, xyz, truth, centers
 
 
+def disk_cloud(n, k, radius, noise_frac=0.004, seed=0, dtype=np.float32):
+    """k uniform-density DISKS + uniform background noise.
+
+    Unlike blob_cloud's point-like Gaussians, disks have bounded, uniform
+    interior density, so eps/min_pts/cell_cap/halo caps can be sized
+    analytically with no Gaussian tail turning into surprise noise -- the
+    geometry for overflow-free capacity accounting at 10^7+ points."""
+    rng = np.random.default_rng(seed)
+    n_noise = int(n * noise_frac)
+    nc = n - n_noise
+    centers = rng.uniform(radius, 1 - radius, size=(k, 2))
+    per = nc // k
+    rr = radius * np.sqrt(rng.uniform(0, 1, size=(k, per)))
+    th = rng.uniform(0, 2 * np.pi, size=(k, per))
+    pts = centers[:, None, :] + np.stack(
+        [rr * np.cos(th), rr * np.sin(th)], axis=-1)
+    parts = [pts.reshape(-1, 2)]
+    parts.append(rng.uniform(0, 1, size=(nc - per * k, 2)))
+    parts.append(rng.uniform(0, 1, size=(n_noise, 2)))
+    motor = np.concatenate(parts)[:n].astype(dtype)
+    xyz = np.concatenate([motor, np.ones((n, 1), dtype)], axis=1)
+    truth = np.concatenate([centers, np.ones((k, 1))], axis=1).astype(dtype)
+    return motor, xyz, truth, centers
+
+
 def timed(fn, sync, repeats=3):
     """Best-of-N wall time with explicit host-transfer sync."""
     out = fn()

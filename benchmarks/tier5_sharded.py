@@ -21,6 +21,16 @@ NOISE_CAP = int(os.environ.get("BENCH_NOISE_CAP", 1024))
 HALO_CAP = int(os.environ.get("BENCH_HALO_CAP", 64))
 REPS = int(os.environ.get("BENCH_REPS", 3))
 DB_CHUNK = int(os.environ.get("BENCH_DB_CHUNK", 16))
+# 10M-point recipe (see docs/PARITY.md "tier-5 at scale"): disk cloud +
+# hierarchical halo union keep every overflow counter at 0.
+CLOUD = os.environ.get("BENCH_CLOUD", "blob")          # "blob" | "disk"
+EPS = float(os.environ.get("BENCH_EPS", 0.004))
+MIN_PTS = int(os.environ.get("BENCH_MIN_PTS", 8))
+HALO_MODE = os.environ.get("BENCH_HALO_MODE", "ring")  # ring|gather|hier
+DEV_HALO_CAP = int(os.environ.get("BENCH_DEV_HALO_CAP", 512))
+HALO_CELL_CAP = int(os.environ.get("BENCH_HALO_CELL_CAP", 64))
+PTS_PER_CLUSTER = int(os.environ.get("BENCH_PTS_PER_CLUSTER", 800))
+DISK_RADIUS = float(os.environ.get("BENCH_DISK_RADIUS", 0.005))
 
 
 def main():
@@ -44,21 +54,27 @@ def main():
         mesh = make_mesh(ndev)
         B = BLOCKS_PER_DEV * ndev
         n = B * CAP
-        motor, xyz, truth, centers = blob_cloud(
-            n, k=max(n // 800, 8), seed=3)
+        k = max(n // PTS_PER_CLUSTER, 8)
+        if CLOUD == "disk":
+            from common import disk_cloud
+            motor, xyz, truth, centers = disk_cloud(
+                n, k=k, radius=DISK_RADIUS, seed=3)
+        else:
+            motor, xyz, truth, centers = blob_cloud(n, k=k, seed=3)
         valid = jnp.ones(n, bool)
         part = assign_blocks_balanced(jnp.asarray(motor), valid, CAP)
         bc, bv, pidx, _ = gather_blocks_ordered(
             jnp.asarray(motor), part["order"], valid, B, CAP)
 
-        # id table sized for the blob count (k ~ n/800 clusters)
-        max_ids = 1 << max(12, (3 * n // 800).bit_length())
+        # id table sized for the cluster count (k clusters, split pieces)
+        max_ids = 1 << max(12, (4 * k).bit_length())
 
         def run():
             return sharded_blocked_dbscan(
-                mesh, bc, bv, eps=0.004, min_pts=8, quirks=False,
+                mesh, bc, bv, eps=EPS, min_pts=MIN_PTS, quirks=False,
                 noise_capacity_per_device=NOISE_CAP, halo_merge=True,
-                max_ids=max_ids, halo_cap=HALO_CAP, halo_mode="ring",
+                max_ids=max_ids, halo_cap=HALO_CAP, halo_mode=HALO_MODE,
+                dev_halo_cap=DEV_HALO_CAP, halo_cell_cap=HALO_CELL_CAP,
                 noise_recluster="grid", dbscan_chunk=DB_CHUNK)
 
         out = run()
@@ -75,6 +91,10 @@ def main():
             base_t = dt
         emit(metric="tier5_sharded_dbscan", devices=ndev, points=n,
              points_per_sec=round(pps, 1), wall_ms=round(dt * 1000, 1),
+             # on a virtual CPU mesh the devices CONTEND for os.cpu_count()
+             # cores, so per-device wall time cannot stay flat beyond that
+             # many devices; host_cores makes that visible in the record
+             host_cores=os.cpu_count(),
              weak_scaling_eff=round(base_t / dt, 3),
              n_clusters=int(out["n_total"]),
              noise_overflow=int(out["noise_overflow"]),

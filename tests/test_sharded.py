@@ -136,6 +136,34 @@ def test_sharded_halo_ring_matches_gather(mesh):
     assert int(ring["n_total"]) == int(gath["n_total"]) == 2
 
 
+def test_sharded_halo_hier_matches_gather(mesh):
+    """Hierarchical union (local grid components + device-boundary skin
+    gather) == flat all_gather union, including a cluster whose pieces
+    span devices (the stripe)."""
+    rng = np.random.default_rng(4)
+    stripe = np.stack([np.linspace(0, 2.0, 120), np.zeros(120)], axis=1)
+    stripe = np.repeat(stripe, 3, axis=0) + 0.005 * rng.standard_normal((360, 2))
+    blob = np.array([5.0, 5.0]) + 0.01 * rng.standard_normal((40, 2))
+    motor = np.concatenate([stripe, blob])
+    rng.shuffle(motor)
+    n = len(motor)
+    cap = 64
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), cap)
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), 8, cap)
+    kw = dict(eps=0.08, min_pts=6, quirks=False,
+              noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
+              max_ids=128)
+    hier = sharded_blocked_dbscan(mesh, bc, bv, halo_mode="hier",
+                                  dev_halo_cap=512, halo_cell_cap=64, **kw)
+    gath = sharded_blocked_dbscan(mesh, bc, bv, halo_mode="gather", **kw)
+    np.testing.assert_array_equal(np.asarray(hier["label"]),
+                                  np.asarray(gath["label"]))
+    assert int(hier["n_total"]) == int(gath["n_total"]) == 2
+    assert int(hier["halo_overflow"]) == 0
+
+
 def test_sharded_noise_recluster_grid_matches_dense(mesh):
     rng = np.random.default_rng(5)
     motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=80, spread=0.012)

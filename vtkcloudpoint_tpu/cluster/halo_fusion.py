@@ -118,6 +118,59 @@ def union_ids(hx, hlab, hvalid, n_used, eps: float, metric: str,
     }
 
 
+def grid_union_ids(hx, hlab, hvalid, n_used, eps: float, metric: str,
+                   max_ids: int, cell_cap: int = 64, idm_init=None,
+                   max_rounds: int = 32):
+    """union_ids with grid-hash adjacency instead of the [H, H] pairwise.
+
+    Every halo point is core, so eps-connected components (dbscan_grid with
+    min_pts=1: no noise, components = clusters) subsume pairwise adjacency:
+    two ids are mergeable iff points carrying them share a component.  Per
+    Jacobi round: component -> min CURRENT id (segment-min), id -> min over
+    its points' components (scatter-min), path-compress; O(H x stencil)
+    instead of O(H^2).  ``idm_init`` seeds the table (composition with an
+    earlier union stage).  Returns dict(remap, n_after, idmap, overflow);
+    overflow counts grid-cell truncation (exactness requires 0)."""
+    from .grid import dbscan_grid
+
+    inf = jnp.int32(max_ids)
+    hn = hx.shape[0]
+    use = hvalid & (hlab > 0)
+    lab_idx = jnp.clip(hlab, 0, max_ids - 1)
+    comp = dbscan_grid(hx, use, eps, 1, metric, cell_cap=cell_cap)
+    clab = comp["label"]
+
+    def body(state):
+        idm, _, it = state
+        cur = jnp.where(use, idm[lab_idx], inf)
+        cmin = jnp.full(hn + 1, inf, jnp.int32).at[clab].min(cur)
+        idm_new = idm.at[lab_idx].min(jnp.where(use, cmin[clab], inf))
+        idm_new = jnp.minimum(idm_new, inf - 1)
+        idm_new = idm_new.at[0].set(0)
+        idm_new = jnp.minimum(idm_new, idm_new[idm_new])  # path compression
+        return idm_new, jnp.any(idm_new != idm), it + 1
+
+    idm0 = (jnp.arange(max_ids, dtype=jnp.int32)
+            if idm_init is None else idm_init)
+    st = body((idm0, jnp.array(True), jnp.int32(0)))
+    idm, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds), body, st
+    )
+
+    ids = jnp.arange(max_ids)
+    used_ids = (ids >= 1) & (ids <= n_used)
+    survivor = used_ids & (idm == ids)
+    new_id = jnp.cumsum(survivor.astype(jnp.int32))
+    remap = jnp.where(used_ids, new_id[idm], 0).astype(jnp.int32)
+    remap = remap.at[0].set(0)
+    return {
+        "remap": remap,
+        "n_after": jnp.sum(survivor.astype(jnp.int32)),
+        "idmap": idm,
+        "overflow": comp["overflow"],
+    }
+
+
 @partial(jax.jit, static_argnames=("eps", "metric", "halo_cap", "max_ids"))
 def halo_merge_labels(
     block_coords,

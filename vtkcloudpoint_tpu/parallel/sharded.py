@@ -36,7 +36,7 @@ from ..ops.metrics import pairwise, pairwise_sqdist
 
 def _ring_union(hx, hlab, hval, n_used, eps: float, metric: str,
                 max_ids: int, axis: str, ndev: int, max_rounds: int,
-                halo_chunk: int = 2048):
+                halo_chunk: int = 2048, idm_init=None):
     """Union-find over cluster ids implied by cross-shard halo adjacency,
     with the halo shells circulating the device ring via ppermute.
 
@@ -52,7 +52,8 @@ def _ring_union(hx, hlab, hval, n_used, eps: float, metric: str,
     payload per hop is ONE device's eps-shell instead of the gathered world.
     """
     inf = jnp.int32(max_ids)
-    idm0 = jnp.arange(max_ids, dtype=jnp.int32)
+    idm0 = (jnp.arange(max_ids, dtype=jnp.int32)
+            if idm_init is None else idm_init)
     la_idx = jnp.clip(hlab, 0, max_ids - 1)
     perm = [(i, (i + 1) % ndev) for i in range(ndev)]
 
@@ -135,6 +136,112 @@ def _ring_union(hx, hlab, hval, n_used, eps: float, metric: str,
     }
 
 
+def _hier_union(hx, hlab, hval, lo_dev, hi_dev, n_used, eps: float,
+                metric: str, max_ids: int, axis: str, ndev: int,
+                max_rounds: int, dev_halo_cap: int, cell_cap: int):
+    """Two-level halo union: device-local grid-hash components, then a
+    ppermute ring over ONLY the device-boundary shell.
+
+    The flat ring (_ring_union) pairs every shell point against every
+    visiting shell point -- O(H^2) per hop, where H ~ (blocks/device) x
+    halo_cap.  At pod scale most halo pairs are INTRA-device (block-to-block
+    inside one shard) and need no communication at all, so:
+
+    1. local: every halo point is a core point (halo_buffers requires
+       block_core), hence two halo points within eps are provably one
+       cluster.  Connected components of the local shell under eps-adjacency
+       come from the grid-hash engine (dbscan_grid, min_pts=1 => no noise,
+       components = clusters) in O(H x stencil) instead of O(H^2).  Each
+       component scatter-mins its smallest current global id into the id
+       table; the tables pmin across devices (noise-recluster ids are shared
+       by all devices, so the table must stay consistent) and path-compress,
+       iterated to a fixpoint (Jacobi over the id graph).
+    2. skin: only halo points within eps of ANOTHER device's bounding box
+       (expanded by eps -- a safe overapproximation of "within eps of that
+       device's points") enter fixed-capacity [dev_halo_cap] buffers; one
+       all_gather of the skins (a few MB even at 10^7 points -- cheap on
+       ICI) feeds a replicated grid-hash union (grid_union_ids) seeded with
+       the stage-1 table.  Collective payload and union cost scale with the
+       device BOUNDARY, not the shell or the world.
+
+    Exact iff nothing overflows: returns (union dict, overflow) where
+    overflow counts device-boundary points dropped by dev_halo_cap plus
+    grid-cell truncation in both union stages.
+    """
+    inf = jnp.int32(max_ids)
+    hn = hx.shape[0]
+    la_idx = jnp.clip(hlab, 0, max_ids - 1)
+    use = hval & (hlab > 0)
+
+    # ---- stage 1: local components via grid hash ----
+    comp = dbscan_grid(hx, use, eps, 1, metric, cell_cap=cell_cap)
+    clab = comp["label"]                       # [hn] 1..K, 0 invalid
+    grid_ovf = jax.lax.psum(comp["overflow"], axis)
+
+    def local_round(state):
+        idm, _, it = state
+        cur = jnp.where(use, idm[la_idx], inf)
+        cmin = jnp.full(hn + 1, inf, jnp.int32).at[clab].min(cur)
+        upd = jnp.full(max_ids, inf, jnp.int32).at[la_idx].min(
+            jnp.where(use, cmin[clab], inf)
+        )
+        # the table must stay identical across devices (noise-recluster ids
+        # are shared by every device), so constraints pmin before applying
+        upd = jax.lax.pmin(upd, axis)
+        new = jnp.minimum(idm, jnp.minimum(upd, inf - 1))
+        new = new.at[0].set(0)
+
+        def compress(s):
+            m, _ = s
+            m2 = jnp.minimum(m, m[m])
+            return m2, jnp.any(m2 != m)
+
+        new, _ = jax.lax.while_loop(
+            lambda s: s[1], compress, (new, jnp.array(True))
+        )
+        # `new` is a pure function of (idm, pmin'd upd) => identical on all
+        # devices, so this change flag cannot diverge the while_loop trips
+        return new, jnp.any(new != idm), it + 1
+
+    idm0 = jnp.arange(max_ids, dtype=jnp.int32)
+    st = local_round((idm0, jnp.array(True), jnp.int32(0)))
+    idm, _, _ = jax.lax.while_loop(
+        lambda s: s[1] & (s[2] < max_rounds), local_round, st
+    )
+
+    # ---- stage 2: reduce to the device-boundary skin ----
+    dev = jax.lax.axis_index(axis)
+    los = jax.lax.all_gather(lo_dev, axis)     # [ndev, D]
+    his = jax.lax.all_gather(hi_dev, axis)
+    inside = jnp.all(
+        (hx[:, None, :] >= los[None] - eps)
+        & (hx[:, None, :] <= his[None] + eps),
+        axis=-1,
+    )                                          # [hn, ndev]
+    other = jnp.arange(ndev) != dev
+    near = use & jnp.any(inside & other[None, :], axis=1)
+
+    slot = jnp.where(near, jnp.arange(hn, dtype=jnp.int32), hn)
+    order = jnp.argsort(slot, stable=True)[:dev_halo_cap]
+    sel = slot[order] < hn
+    bx = jnp.where(sel[:, None], hx[order], jnp.asarray(1e30, hx.dtype))
+    blab = jnp.where(sel, idm[la_idx[order]], 0)
+    dev_ovf = jax.lax.psum(
+        jnp.sum(near, dtype=jnp.int32) - jnp.sum(sel, dtype=jnp.int32), axis
+    )
+
+    # ---- stage 3: replicated grid union over the gathered skins ----
+    from ..cluster.halo_fusion import grid_union_ids
+
+    gx = jax.lax.all_gather(bx, axis).reshape(-1, hx.shape[1])
+    glab = jax.lax.all_gather(blab, axis).reshape(-1)
+    gsel = jax.lax.all_gather(sel, axis).reshape(-1)
+    uni = grid_union_ids(gx, glab, gsel, n_used, eps, metric, max_ids,
+                         cell_cap=cell_cap, idm_init=idm,
+                         max_rounds=max_rounds)
+    return uni, grid_ovf + dev_ovf + uni["overflow"]
+
+
 def sharded_blocked_dbscan(
     mesh: Mesh,
     block_coords,
@@ -152,7 +259,9 @@ def sharded_blocked_dbscan(
     backend: str = "auto",
     noise_recluster: str = "auto",   # "grid" | "dense" | "auto"
     noise_cell_cap: int = 32,
-    halo_mode: str = "ring",         # "ring" | "gather"
+    halo_mode: str = "ring",         # "ring" | "gather" | "hier"
+    dev_halo_cap: int = 512,         # "hier": device-boundary skin capacity
+    halo_cell_cap: int = 64,         # "hier": grid cells in the local stage
     fixpoint_max_rounds: int = None,  # None -> ParallelConfig default
     halo_width_eps: float = None,     # shell width multiple of eps
     dbscan_chunk: int = 64,          # per-device blocks in flight (jnp path)
@@ -191,6 +300,8 @@ def sharded_blocked_dbscan(
     if noise_recluster == "auto":
         noise_recluster = "grid" if metric in ("l1_motor", "l2_xyz") and \
             D == 2 else "dense"
+    if halo_mode == "hier" and D != 2:
+        halo_mode = "ring"  # the grid-hash local stage is 2D-only
 
     def local_fusion_ids(labels_loc, valid_loc, dev_idx):
         """Counts for the local shard: [Bloc, cap+1]."""
@@ -298,6 +409,18 @@ def sharded_blocked_dbscan(
                 hval = jax.lax.all_gather(hval, axis).reshape(-1)
                 uni = union_ids(hx, hlab, hval, n_total, eps, metric,
                                 max_ids)
+            elif halo_mode == "hier":
+                big = jnp.asarray(1e30, coords_loc.dtype)
+                vc = valid_loc[..., None]
+                lo_dev = jnp.min(jnp.where(vc, coords_loc, big), (0, 1))
+                hi_dev = jnp.max(jnp.where(vc, coords_loc, -big), (0, 1))
+                uni, hovf2 = _hier_union(
+                    hx, hlab, hval, lo_dev, hi_dev, n_total, eps,
+                    "l1_motor" if metric == "l1_motor" else "l2_xy",
+                    max_ids, axis, ndev, fixpoint_max_rounds,
+                    dev_halo_cap, halo_cell_cap,
+                )
+                halo_ovf = halo_ovf + hovf2
             else:
                 uni = _ring_union(
                     hx, hlab, hval, n_total, eps, metric, max_ids,
