@@ -33,7 +33,14 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         os.environ.get("PROCESS_ID", "0"))
     if num_processes <= 1:
         return False
-    jax.distributed.initialize(
+    from ..utils.resilience import retry
+
+    # coordinator races at job start are the normal case (hosts come up in
+    # any order) and tunnel hiccups are transient: retry with backoff
+    # instead of failing the whole multi-host job on the first connect
+    retry(attempts=5, backoff=2.0, exceptions=(RuntimeError, OSError))(
+        jax.distributed.initialize
+    )(
         coordinator_address=coordinator,
         num_processes=num_processes,
         process_id=process_id,
