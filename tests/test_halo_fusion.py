@@ -93,3 +93,35 @@ def test_halo_merge_noop_when_no_split(rng):
     out = halo_merge_labels(bc, bv, jnp.asarray(block_glabels), db["core"],
                             fused["n_total"], eps, halo_cap=64, max_ids=64)
     assert int(out["n_after"]) == int(fused["n_total"])
+
+
+def test_grid_union_ids_matches_pairwise(rng):
+    """grid-hash adjacency union == O(H^2) pairwise union on random halo
+    sets (ids, components, remap and survivor count all bit-equal)."""
+    from vtkcloudpoint_tpu.cluster.halo_fusion import union_ids, grid_union_ids
+
+    for seed in range(4):
+        r = np.random.default_rng(seed)
+        # chains of touching mini-clusters + isolated singles, random ids
+        n = 160
+        hx = np.zeros((n, 2), np.float32)
+        k = 0
+        x = 0.0
+        while k < n - 8:
+            run = int(r.integers(2, 7))
+            for j in range(run):
+                hx[k] = [x, 0.0]
+                x += 0.05  # == eps: chain links
+                k += 1
+            x += 0.2       # gap: chain breaks
+        hx[k:] = r.uniform(5, 6, size=(n - k, 2)).astype(np.float32)
+        hlab = r.integers(1, 40, size=n).astype(np.int32)
+        hval = r.random(n) < 0.9
+        args = (jnp.asarray(hx), jnp.asarray(hlab), jnp.asarray(hval),
+                jnp.int32(40), 0.05, "l1_motor", 64)
+        a = union_ids(*args)
+        b = grid_union_ids(*args, cell_cap=32)
+        assert int(b["overflow"]) == 0
+        np.testing.assert_array_equal(np.asarray(a["remap"]),
+                                      np.asarray(b["remap"]))
+        assert int(a["n_after"]) == int(b["n_after"])
