@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 BIG = 1e30
 
@@ -152,43 +153,48 @@ def min_enclosing_circle(hull_pts, hull_valid):
     i2 = jnp.argmin(pair_r2.reshape(-1))
     best_pair_r2 = pair_r2.reshape(-1)[i2]
 
-    # triples: scan over the first index i so the working set per step is
-    # [h, h] circles + an [h, h, h] containment check instead of the full
-    # [h^3] x [h] tensor (VERDICT r1 item 6: bound the memory; the min over
-    # all triples is identical).
-    jj = ar[:, None]
-    kk = ar[None, :]
+    # triples: enumerate ONLY the C(h,3) lexicographic combinations as a
+    # static index table, scanned in fixed chunks -- ~6x less work than the
+    # masked [h^3] cube and the per-step working set stays [chunk, h]
+    # (VERDICT r1 item 6: bound the memory; the min over all triples is
+    # identical, and lex order preserves the first-minimum tie-break of the
+    # cube enumeration).
+    import itertools
 
-    def trip_step(carry, i):
+    tri = _np.array(
+        list(itertools.combinations(range(h), 3)), dtype=_np.int32
+    ).reshape(-1, 3)
+    if tri.shape[0] == 0:                      # h < 3: pairs only
+        tri = _np.zeros((1, 3), _np.int32)     # self-triple: degenerate, BIG
+    chunk = min(512, tri.shape[0])
+    pad = (-tri.shape[0]) % chunk
+    # padding repeats the last real triple; it can never win strictly
+    tri = _np.concatenate([tri, _np.repeat(tri[-1:], pad, axis=0)])
+    tri = jnp.asarray(tri.reshape(-1, chunk, 3))
+
+    def trip_step(carry, idx):
         best_r2_c, bcx_c, bcy_c = carry
-        a = pts[i]
-        cx3, cy3, r2_3 = _circumcircle(
-            a[None, None, :], pts[:, None, :], pts[None, :, :]
-        )  # [h, h]
+        ia, ib, ic = idx[:, 0], idx[:, 1], idx[:, 2]
+        cx3, cy3, r2_3 = _circumcircle(pts[ia], pts[ib], pts[ic])  # [chunk]
         r2_3 = jnp.where(jnp.isfinite(r2_3), r2_3, BIG)
-        trip_ok = (
-            (i < jj) & (jj < kk)
-            & hull_valid[i]
-            & hull_valid[jj]
-            & hull_valid[kk]
-        )
+        trip_ok = hull_valid[ia] & hull_valid[ib] & hull_valid[ic]
         skip = (
-            (ar[None, None, :] == i)
-            | (ar[None, None, :] == jj[..., None])
-            | (ar[None, None, :] == kk[..., None])
+            (ar[None, :] == ia[:, None])
+            | (ar[None, :] == ib[:, None])
+            | (ar[None, :] == ic[:, None])
         )
         enc = encloses(cx3, cy3, r2_3, skip) & trip_ok
-        r2m = jnp.where(enc, r2_3, BIG).reshape(-1)
+        r2m = jnp.where(enc, r2_3, BIG)
         b = jnp.argmin(r2m)
         better = r2m[b] < best_r2_c
         return (
             jnp.where(better, r2m[b], best_r2_c),
-            jnp.where(better, cx3.reshape(-1)[b], bcx_c),
-            jnp.where(better, cy3.reshape(-1)[b], bcy_c),
+            jnp.where(better, cx3[b], bcx_c),
+            jnp.where(better, cy3[b], bcy_c),
         ), None
 
     (best_trip_r2, tcx, tcy), _ = jax.lax.scan(
-        trip_step, (jnp.asarray(BIG, pts.dtype), pts[0, 0], pts[0, 1]), ar
+        trip_step, (jnp.asarray(BIG, pts.dtype), pts[0, 0], pts[0, 1]), tri
     )
 
     use_trip = best_trip_r2 < best_pair_r2
