@@ -30,7 +30,20 @@ HALO_MODE = os.environ.get("BENCH_HALO_MODE", "ring")  # ring|gather|hier
 DEV_HALO_CAP = int(os.environ.get("BENCH_DEV_HALO_CAP", 512))
 HALO_CELL_CAP = int(os.environ.get("BENCH_HALO_CELL_CAP", 64))
 PTS_PER_CLUSTER = int(os.environ.get("BENCH_PTS_PER_CLUSTER", 800))
-DISK_RADIUS = float(os.environ.get("BENCH_DISK_RADIUS", 0.005))
+# default disk radius targets the PARITY.md recorded density rho = 3e7
+# (eps-ball ~18 points >= 2*min_pts core margin); override with an explicit
+# BENCH_DISK_RADIUS to change the regime
+_R = os.environ.get("BENCH_DISK_RADIUS", "auto")
+DISK_RADIUS = (float(_R) if _R != "auto"
+               else (PTS_PER_CLUSTER / (3.14159265 * 3e7)) ** 0.5)
+NOISE_FRAC = 0.004                                     # disk_cloud default
+# BENCH_AUTO_CAPS=1 (default for the disk cloud): derive halo/cell/skin/
+# noise capacities from ParallelConfig.size_caps instead of hand-picked env
+# values, and ASSERT all overflow counters are 0 -- a sized run silently
+# dropping points is a regression, not a report (VERDICT r2 weak item 4).
+AUTO_CAPS = os.environ.get(
+    "BENCH_AUTO_CAPS", "1" if CLOUD == "disk" else "0") == "1"
+CAP_SAFETY = float(os.environ.get("BENCH_CAP_SAFETY", 2.0))
 
 
 def main():
@@ -69,12 +82,29 @@ def main():
         # id table sized for the cluster count (k clusters, split pieces)
         max_ids = 1 << max(12, (4 * k).bit_length())
 
+        halo_cap, cell_cap = HALO_CAP, HALO_CELL_CAP
+        dev_halo_cap, noise_cap = DEV_HALO_CAP, NOISE_CAP
+        if AUTO_CAPS and CLOUD == "disk":
+            import math
+            from vtkcloudpoint_tpu.config import ParallelConfig
+            density = PTS_PER_CLUSTER / (math.pi * DISK_RADIUS ** 2)
+            caps = ParallelConfig.size_caps(
+                EPS, density, CAP, blocks_per_device=BLOCKS_PER_DEV,
+                noise_frac=NOISE_FRAC, safety=CAP_SAFETY)
+            halo_cap, cell_cap = caps["halo_cap"], caps["cell_cap"]
+            dev_halo_cap, noise_cap = (caps["dev_halo_cap"],
+                                       caps["noise_capacity"])
+            emit(metric="tier5_auto_caps", devices=ndev, density=density,
+                 eps=EPS, **{k: v for k, v in caps.items()
+                             if k != "ball_points"},
+                 ball_points=round(caps["ball_points"], 1))
+
         def run():
             return sharded_blocked_dbscan(
                 mesh, bc, bv, eps=EPS, min_pts=MIN_PTS, quirks=False,
-                noise_capacity_per_device=NOISE_CAP, halo_merge=True,
-                max_ids=max_ids, halo_cap=HALO_CAP, halo_mode=HALO_MODE,
-                dev_halo_cap=DEV_HALO_CAP, halo_cell_cap=HALO_CELL_CAP,
+                noise_capacity_per_device=noise_cap, halo_merge=True,
+                max_ids=max_ids, halo_cap=halo_cap, halo_mode=HALO_MODE,
+                dev_halo_cap=dev_halo_cap, halo_cell_cap=cell_cap,
                 noise_recluster="grid", dbscan_chunk=DB_CHUNK)
 
         out = run()
@@ -99,6 +129,11 @@ def main():
              n_clusters=int(out["n_total"]),
              noise_overflow=int(out["noise_overflow"]),
              halo_overflow=int(out["halo_overflow"]))
+        if AUTO_CAPS and CLOUD == "disk":
+            assert int(out["noise_overflow"]) == 0, \
+                f"sized run dropped noise points: {int(out['noise_overflow'])}"
+            assert int(out["halo_overflow"]) == 0, \
+                f"sized run dropped halo points: {int(out['halo_overflow'])}"
 
     # distributed ICP at the largest mesh
     ndev = sizes[-1]

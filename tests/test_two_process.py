@@ -45,8 +45,9 @@ def _single_process_expected():
     }
 
 
-@pytest.mark.timeout(600)
 def test_two_process_matches_single(tmp_path):
+    # pytest-timeout is not installed; the communicate(timeout=420) below is
+    # the real guard against a hung worker pair.
     expected = _single_process_expected()
     port = _free_port()
     env = dict(os.environ)

@@ -159,11 +159,12 @@ def min_enclosing_circle(hull_pts, hull_valid):
     # (VERDICT r1 item 6: bound the memory; the min over all triples is
     # identical, and lex order preserves the first-minimum tie-break of the
     # cube enumeration).
-    import itertools
-
-    tri = _np.array(
-        list(itertools.combinations(range(h), 3)), dtype=_np.int32
-    ).reshape(-1, 3)
+    ia_, ib_, ic_ = _np.meshgrid(
+        _np.arange(h, dtype=_np.int32), _np.arange(h, dtype=_np.int32),
+        _np.arange(h, dtype=_np.int32), indexing="ij",
+    )
+    lex = (ia_ < ib_) & (ib_ < ic_)
+    tri = _np.stack([ia_[lex], ib_[lex], ic_[lex]], axis=-1)
     if tri.shape[0] == 0:                      # h < 3: pairs only
         tri = _np.zeros((1, 3), _np.int32)     # self-triple: degenerate, BIG
     chunk = min(512, tri.shape[0])
@@ -257,8 +258,10 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
     Clusters with count < min_points get radius 0 (reference skips circles
     for clusters <= 3 points, Tools.cs:400-401).
 
-    Processed ``chunk_k`` clusters at a time; peak intermediate memory is
-    ~chunk_k * max_hull^3 * 4 B (67 MB at the defaults) regardless of K.
+    Processed ``chunk_k`` clusters at a time; the triple enumeration scans
+    the C(max_hull, 3) lexicographic index table in fixed chunks, so the
+    peak intermediate working set is ~chunk_k * chunk * max_hull floats
+    (chunk <= 512) regardless of K or max_hull.
 
     Returns dict of [K]-shaped circle centers/radii and rect side lengths.
     """

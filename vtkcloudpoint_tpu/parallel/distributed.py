@@ -35,16 +35,31 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
         return False
     from ..utils.resilience import retry
 
+    def init_once():
+        # jax.distributed.initialize sets global client/service state BEFORE
+        # client.connect(); a failed connect leaves that state behind and
+        # every later call raises "should only be called once". Tear the
+        # half-initialized state down before re-raising so the retry below
+        # actually retries the connect, not a guaranteed RuntimeError.
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        except Exception:
+            try:
+                jax.distributed.shutdown()
+            except Exception:
+                pass
+            raise
+
     # coordinator races at job start are the normal case (hosts come up in
     # any order) and tunnel hiccups are transient: retry with backoff
     # instead of failing the whole multi-host job on the first connect
     retry(attempts=5, backoff=2.0, exceptions=(RuntimeError, OSError))(
-        jax.distributed.initialize
-    )(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+        init_once
+    )()
     return True
 
 
