@@ -136,6 +136,91 @@ def tpu_pipeline():
     args = (jnp.asarray(motor), jnp.asarray(xyz), jnp.ones(n, bool),
             jnp.asarray(truth), jnp.ones(len(truth), bool))
 
+    def stage_times(backend):
+        """Per-stage device timing (separate jits; VERDICT r2 item 5).
+
+        The sum exceeds the fused wall (no cross-stage overlap/fusion), but
+        the RATIOS say where the fused step's time goes."""
+        motor_d, xyz_d, valid, truth_d, tv = args
+
+        def j(f):
+            return jax.jit(f)
+
+        s_part = j(lambda m, v: assign_blocks_balanced(m, v, BLOCK_CAP))
+        part = s_part(motor_d, valid)
+        s_gather = j(lambda m, o, v: gather_blocks_ordered(
+            m, o, v, max_blocks, BLOCK_CAP))
+        bc, bv, pidx, _ = s_gather(motor_d, part["order"], valid)
+        s_db = j(lambda c, v: dbscan_blocks_dispatch(
+            c, v, EPS, MIN_PTS, "l1_motor", chunk=16, backend=backend))
+        db = s_db(bc, bv)
+        s_fuse = j(lambda l, v, c, p: merge_blocks(
+            l, v, c, p, n, EPS, MIN_PTS, "l1_motor", quirks=False,
+            noise_capacity=NOISE_CAP))
+        fused = s_fuse(db["label"], bv, bc, pidx)
+        s_stats = j(lambda x, m, l, v: cluster_stats(x, m, l, v,
+                                                     MAX_CLUSTERS))
+        stats = s_stats(xyz_d, motor_d, fused["label"], valid)
+        s_bucket = j(lambda l, v: bucket_by_cluster(l, v, MAX_CLUSTERS,
+                                                    CLUSTER_CAP))
+        table, _ = s_bucket(fused["label"], valid)
+
+        def shapes(table, counts, x, m):
+            safe = jnp.clip(table, 0, n - 1)
+            tvalid = table >= 0
+            sh3 = cluster_shapes(
+                jnp.where(tvalid[..., None], x[safe][..., :2], 0.0),
+                tvalid, counts, max_hull=MAX_HULL)
+            sh2 = cluster_shapes(
+                jnp.where(tvalid[..., None], m[safe], 0.0),
+                tvalid, counts, max_hull=MAX_HULL)
+            return sh3["radius"], sh2["radius"]
+
+        s_shapes = j(lambda t, c, x, m: shapes(t, c, x, m))
+        _ = s_shapes(table, stats["count"], xyz_d, motor_d)
+        s_icp = j(lambda c, cv, t, tv: icp(
+            c, cv, t, tv, ICPConfig(max_iterations=50), chunk=1024,
+            backend=backend))
+        _ = s_icp(stats["center3d"], stats["count"] > 0, truth_d, tv)
+
+        def t(f, *a, k=8):
+            # block_until_ready does not flush on the tunneled TPU platform;
+            # a tiny host transfer (enqueued after the producer) is the only
+            # reliable barrier (same trick as run_sync below). A single
+            # timed call is dominated by the ~25 ms tunnel dispatch latency,
+            # so queue k back-to-back executions and difference against one:
+            # compute_ms ~= (T_k - T_1) / (k - 1).
+            def sync(out):
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                _ = np.asarray(leaf.ravel()[:8])
+
+            def run_n(nrun):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(nrun):
+                    out = f(*a)
+                sync(out)
+                return time.perf_counter() - t0
+
+            run_n(1)                       # warmup/compile
+            t1 = min(run_n(1) for _ in range(2))
+            tk = run_n(k)
+            return round(max(tk - t1, 0.0) / (k - 1) * 1e3, 2)
+
+        times = {
+            "partition": t(s_part, motor_d, valid),
+            "gather": t(s_gather, motor_d, part["order"], valid),
+            "dbscan": t(s_db, bc, bv),
+            "fusion": t(s_fuse, db["label"], bv, bc, pidx),
+            "stats": t(s_stats, xyz_d, motor_d, fused["label"], valid),
+            "bucket": t(s_bucket, fused["label"], valid),
+            "shapes_x2": t(s_shapes, table, stats["count"], xyz_d, motor_d),
+            "icp": t(s_icp, stats["center3d"], stats["count"] > 0,
+                     truth_d, tv),
+        }
+        stage("per_stage_ms", backend=backend, **times)
+        return times
+
     def run_sync(fn):
         out = fn(*args)
         _ = np.asarray(out[0][:16])        # host transfer = real barrier
@@ -145,6 +230,9 @@ def tpu_pipeline():
     backends = ["jnp"]
     if resolve_backend("auto") == "pallas":
         backends.append("pallas")
+    if os.environ.get("BENCH_STAGES", "1") == "1":
+        for backend in backends:
+            stage_times(backend)
     for backend in backends:
         fn = make_step(backend)
         n_clusters, err, icp_iters = run_sync(fn)   # warmup/compile

@@ -134,6 +134,22 @@ def main():
                 f"sized run dropped noise points: {int(out['noise_overflow'])}"
             assert int(out["halo_overflow"]) == 0, \
                 f"sized run dropped halo points: {int(out['halo_overflow'])}"
+        if os.environ.get("BENCH_CHECK_GATHER", "0") == "1":
+            # exactness cross-check: the hierarchical (or ring) union must
+            # reproduce the flat all_gather union bit-for-bit on the same
+            # cloud (VERDICT r2 item 1 done-criterion)
+            ref = sharded_blocked_dbscan(
+                mesh, bc, bv, eps=EPS, min_pts=MIN_PTS, quirks=False,
+                noise_capacity_per_device=noise_cap, halo_merge=True,
+                max_ids=max_ids, halo_cap=halo_cap, halo_mode="gather",
+                noise_recluster="grid", dbscan_chunk=DB_CHUNK)
+            same = bool(np.array_equal(np.asarray(out["label"]),
+                                       np.asarray(ref["label"])))
+            emit(metric="tier5_check_gather", devices=ndev, points=n,
+                 mode=HALO_MODE, labels_equal=same,
+                 n_clusters_mode=int(out["n_total"]),
+                 n_clusters_gather=int(ref["n_total"]))
+            assert same, f"{HALO_MODE} union != gather union at {n} points"
 
     # distributed ICP at the largest mesh
     ndev = sizes[-1]

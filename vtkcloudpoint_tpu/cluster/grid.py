@@ -2,12 +2,21 @@
 
 BASELINE.json tier-3 path (5M-pt scan, grid-hash neighbor kernels): instead
 of the reference's block decomposition + fusion, bin points into eps-sized
-cells and restrict every neighborhood scan to the 3x3 surrounding cells --
+cells and restrict every neighborhood scan to the 3^D surrounding cells --
 the TPU replacement for the VTK point locator (SURVEY.md "Native components"
-item 3).
+item 3). Works for D=2 (motor coords, 9-cell stencil) and D=3 (xyz, 27-cell
+stencil); the eps-cell stencil covers the eps-ball for both L1 and L2.
 
 Design (static shapes throughout):
-- points sort by cell id; each point's 9 neighbor cells resolve to start
+- cell ids are a MULTIPLICATIVE HASH of the integer cell coords (linear in
+  the coords, so a stencil neighbor's id is own_id + a constant delta).
+  Unlike a dense row-major id, the hash needs no int32 extent budget -- a
+  50M-point 3D map at tiny eps has more cells than 2^31, which a dense id
+  cannot address. Hash collisions are SAFE for exactness: a colliding far
+  cell only adds candidates that the exact distance test rejects; the only
+  cost is candidate-window occupancy, which the ``overflow`` counter already
+  accounts (exact iff overflow == 0, same contract as before).
+- points sort by cell hash; each point's 3^D neighbor cells resolve to start
   offsets with searchsorted; candidates are a fixed window of ``cell_cap``
   slots per neighbor cell, masked by cell-id equality. Points beyond
   cell_cap in an overfull cell still act as queries but stop being visible
@@ -16,27 +25,41 @@ Design (static shapes throughout):
 - core test, min-label propagation (original-index labels, so cluster ids
   keep the reference's scan-order semantics) with pointer jumping, then the
   same deterministic renumbering + max-id border rule as cluster.dbscan.
-
-Only the L1-motor metric is supported (its eps-ball fits the 3x3 eps-cell
-stencil); l2 over 2D also fits and is allowed.
 """
 from __future__ import annotations
 
 from functools import partial
+from itertools import product
 
 import jax
 import jax.numpy as jnp
 
-_OFFSETS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
-            (1, -1), (1, 0), (1, 1)]
+# odd multiplicative constants (Knuth/xxhash-style); int32 wraparound is
+# two's-complement in XLA, and equal cell coords always hash equal, which is
+# all correctness needs
+_PRIMES = (-1640531535, -2048144789, -1028477387)  # 0x9E3779B1 etc. as i32
+_MASK = jnp.int32(0x7FFFFFFE)  # keep ids in [0, 2^31-2]; INT_MAX = invalid
 
 
 def _pair_dist(a, b, metric):
     if metric == "l1_motor":
         return jnp.sum(jnp.abs(a - b), axis=-1)
-    if metric == "l2_xy":
+    if metric in ("l2_xy", "l2_xyz"):
         return jnp.sqrt(jnp.sum((a - b) ** 2, axis=-1))
     raise ValueError(f"grid mode does not support metric {metric!r}")
+
+
+def grid_metric(metric: str, ndim: int):
+    """The grid-engine metric name equivalent to ``metric`` on D-dim coords,
+    or None when the metric has no grid form (signed_sum_xy is not a
+    metric, so its eps-'ball' does not fit any stencil)."""
+    if metric == "l1_motor":
+        return "l1_motor"
+    if metric == "l2_xyz":
+        return "l2_xyz" if ndim == 3 else "l2_xy"
+    if metric == "l2_xy":
+        return "l2_xy"
+    return None
 
 
 @partial(
@@ -55,46 +78,56 @@ def dbscan_grid(
 ):
     """Grid-hash DBSCAN over one (large) point set.
 
-    coords: [N, 2]; valid: [N]. Returns dict(label, n_clusters, core,
-    overflow) with the same id semantics as cluster.dbscan.dbscan_padded.
+    coords: [N, D] with D in (2, 3); valid: [N]. Returns dict(label,
+    n_clusters, core, overflow) with the same id semantics as
+    cluster.dbscan.dbscan_padded.
     """
-    n = coords.shape[0]
-    x = coords[:, 0]
-    y = coords[:, 1]
+    n, ndim = coords.shape
+    if ndim not in (2, 3):
+        raise ValueError(f"dbscan_grid supports D in (2, 3), got {ndim}")
+    offsets = list(product((-1, 0, 1), repeat=ndim))     # 9 or 27, static
+    self_idx = offsets.index((0,) * ndim)
     big = jnp.asarray(1e30, coords.dtype)
-    xmin = jnp.min(jnp.where(valid, x, big))
-    ymin = jnp.min(jnp.where(valid, y, big))
-    # int32 cell ids (TPU has no x64); (ncx+2)*(ncy+2) must stay < 2^31-1,
-    # i.e. the scan extent may span up to ~46k x 46k eps-cells
-    cx = jnp.floor((x - xmin) / eps).astype(jnp.int32)
-    cy = jnp.floor((y - ymin) / eps).astype(jnp.int32)
-    ymax = jnp.max(jnp.where(valid, y, -big))
-    ncy = (jnp.floor((ymax - ymin) / eps)).astype(jnp.int32) + 3
-    # +1 so neighbor offsets never go negative / collide across rows
-    cell = (cx + 1) * ncy + (cy + 1)
+    lo = jnp.min(jnp.where(valid[:, None], coords, big), axis=0)
+    c = jnp.floor((coords - lo[None, :]) / eps).astype(jnp.int32)
+
+    # raw hash stays UNMASKED (int32 wraparound is linear), so a stencil
+    # neighbor's id is (raw + static delta) & MASK == hash(c + offset);
+    # masking before the add would break that identity (cleared carry bits)
+    raw_h = jnp.zeros(n, jnp.int32)
+    for ax in range(ndim):
+        raw_h = raw_h + c[:, ax] * jnp.int32(_PRIMES[ax])
+    def wrap32(v):  # two's-complement wrap of a Python int
+        return ((v + 2**31) % 2**32) - 2**31
+
+    deltas = [
+        wrap32(sum(int(offsets[o][ax]) * _PRIMES[ax] for ax in range(ndim)))
+        for o in range(len(offsets))
+    ]
+    own_h = raw_h & _MASK
     int_max = jnp.int32(2**31 - 1)
-    cell = jnp.where(valid, cell, int_max)
+    cell = jnp.where(valid, own_h, int_max)
 
     order = jnp.argsort(cell, stable=True)          # sorted position -> orig
     sc = cell[order]                                # sorted cell ids
     pts_s = coords[order]
     valid_s = valid[order]
 
-    # start offset of each point's 9 neighbor cells
-    own = sc
+    # start offset of each point's 3^D neighbor cells
     nbr_cells = jnp.stack(
-        [own + (dx * ncy + dy) for dx, dy in _OFFSETS], axis=1
-    )  # [N, 9]
-    starts = jnp.searchsorted(sc, nbr_cells.reshape(-1)).reshape(n, 9)
+        [(raw_h + jnp.int32(d)) & _MASK for d in deltas], axis=1
+    )[order]                                         # [N, 3^D] sorted order
+    starts = jnp.searchsorted(sc, nbr_cells.reshape(-1)).reshape(
+        n, len(offsets))
 
     k_idx = jnp.arange(cell_cap)
     my_orig = order
 
     def candidate_block(p_slice):
         """For sorted positions p in a chunk: candidate sorted indices
-        [c, 9*cap] + validity mask."""
-        st = starts[p_slice]                          # [c, 9]
-        raw = st[:, :, None] + k_idx[None, None, :]   # [c, 9, cap]
+        [c, 3^D * cap] + validity mask."""
+        st = starts[p_slice]                          # [c, 3^D]
+        raw = st[:, :, None] + k_idx[None, None, :]   # [c, 3^D, cap]
         in_range = raw < n  # must mask BEFORE clamping: a clamped index
         cand = jnp.minimum(raw, n - 1)  # could alias the last point
         want = nbr_cells[p_slice][:, :, None]
@@ -119,7 +152,7 @@ def dbscan_grid(
     core_s = (counts_s >= min_pts) & valid_s
 
     # overflow accounting: rank within own cell >= cap
-    own_start = starts[:, 4]  # offset (0,0) is index 4 in _OFFSETS
+    own_start = starts[:, self_idx]
     rank = jnp.arange(n) - own_start
     overflow = jnp.sum((rank >= cell_cap) & valid_s, dtype=jnp.int32)
 

@@ -140,7 +140,11 @@ class ParallelConfig:
 
         shell = 4.0 * eps * math.sqrt(block_cap * density)
         dev_pts = blocks_per_device * block_cap
-        skin = 4.0 * eps * math.sqrt(dev_pts * density)
+        # the skin test flags points whose 3^D cell stencil touches another
+        # device's occupied cells -- a band up to 2*eps wide on each side of
+        # the boundary, and Morton device boundaries are not straight lines:
+        # budget 2x band x 2x perimeter over the naive eps-shell estimate
+        skin = 16.0 * eps * math.sqrt(dev_pts * density)
         cell = density * eps * eps
         # eps-cell occupancy is ~Poisson(cell): cover a 6-sigma fluctuation
         # before the safety multiplier (a 10^5-cell run WILL sample the tail)

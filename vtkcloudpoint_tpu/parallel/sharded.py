@@ -29,7 +29,7 @@ from jax import shard_map
 
 from ..config import ICPConfig, ParallelConfig
 from ..cluster.dbscan import dbscan_padded, dbscan_blocks_dispatch
-from ..cluster.grid import dbscan_grid
+from ..cluster.grid import dbscan_grid, grid_metric
 from ..ops import se3
 from ..ops.metrics import pairwise, pairwise_sqdist
 
@@ -136,11 +136,12 @@ def _ring_union(hx, hlab, hval, n_used, eps: float, metric: str,
     }
 
 
-def _hier_union(hx, hlab, hval, lo_dev, hi_dev, n_used, eps: float,
+def _hier_union(hx, hlab, hval, n_used, eps: float,
                 metric: str, max_ids: int, axis: str, ndev: int,
-                max_rounds: int, dev_halo_cap: int, cell_cap: int):
+                max_rounds: int, dev_halo_cap: int, cell_cap: int,
+                cell_table_bits: int = 20):
     """Two-level halo union: device-local grid-hash components, then a
-    ppermute ring over ONLY the device-boundary shell.
+    gathered union over ONLY the device-boundary skin.
 
     The flat ring (_ring_union) pairs every shell point against every
     visiting shell point -- O(H^2) per hop, where H ~ (blocks/device) x
@@ -156,13 +157,18 @@ def _hier_union(hx, hlab, hval, lo_dev, hi_dev, n_used, eps: float,
        table; the tables pmin across devices (noise-recluster ids are shared
        by all devices, so the table must stay consistent) and path-compress,
        iterated to a fixpoint (Jacobi over the id graph).
-    2. skin: only halo points within eps of ANOTHER device's bounding box
-       (expanded by eps -- a safe overapproximation of "within eps of that
-       device's points") enter fixed-capacity [dev_halo_cap] buffers; one
-       all_gather of the skins (a few MB even at 10^7 points -- cheap on
-       ICI) feeds a replicated grid-hash union (grid_union_ids) seeded with
-       the stage-1 table.  Collective payload and union cost scale with the
-       device BOUNDARY, not the shell or the world.
+    2. skin: each device scatters its halo points' GLOBAL eps-cell hashes
+       into a [2^cell_table_bits] occupancy bitmap; one psum makes the
+       global occupancy visible, and a halo point is skin iff some 3^D
+       stencil cell is occupied by another device (total - own > 0).  This
+       is partition-shape-agnostic -- unlike a bounding-box test it cannot
+       blow up when Morton/L-inf device footprints straddle quadrant
+       boundaries -- and hash collisions only ADD skin points (sound).
+       Skins enter fixed-capacity [dev_halo_cap] buffers; one all_gather
+       (a few MB even at 10^7 points -- cheap on ICI) feeds a replicated
+       grid-hash union (grid_union_ids) seeded with the stage-1 table.
+       Collective payload and union cost scale with the device BOUNDARY,
+       not the shell or the world.
 
     Exact iff nothing overflows: returns (union dict, overflow) where
     overflow counts device-boundary points dropped by dev_halo_cap plus
@@ -210,16 +216,36 @@ def _hier_union(hx, hlab, hval, lo_dev, hi_dev, n_used, eps: float,
     )
 
     # ---- stage 2: reduce to the device-boundary skin ----
-    dev = jax.lax.axis_index(axis)
-    los = jax.lax.all_gather(lo_dev, axis)     # [ndev, D]
-    his = jax.lax.all_gather(hi_dev, axis)
-    inside = jnp.all(
-        (hx[:, None, :] >= los[None] - eps)
-        & (hx[:, None, :] <= his[None] + eps),
-        axis=-1,
-    )                                          # [hn, ndev]
-    other = jnp.arange(ndev) != dev
-    near = use & jnp.any(inside & other[None, :], axis=1)
+    # global (origin-free) eps-cell coords: consistent across devices, so
+    # one psum'd occupancy table detects cross-device adjacency exactly
+    from ..cluster.grid import _PRIMES
+
+    D = hx.shape[1]
+    H = 1 << cell_table_bits
+    cidx = jnp.floor(hx / eps).astype(jnp.int32)      # [hn, D]
+    raw = jnp.zeros(hn, jnp.int32)
+    for ax in range(D):
+        raw = raw + cidx[:, ax] * jnp.int32(_PRIMES[ax])
+
+    from itertools import product as _product
+
+    def _wrap32(v):
+        return ((v + 2**31) % 2**32) - 2**31
+
+    deltas = [
+        _wrap32(sum(int(o[ax]) * _PRIMES[ax] for ax in range(D)))
+        for o in _product((-1, 0, 1), repeat=D)
+    ]
+    own_idx = raw & jnp.int32(H - 1)
+    own = jnp.zeros(H, jnp.int32).at[own_idx].max(
+        jnp.where(use, 1, 0), mode="drop"
+    )
+    total = jax.lax.psum(own, axis)
+    other_occ = (total - own) > 0                      # [H]
+    near_any = jnp.zeros(hn, bool)
+    for d in deltas:
+        near_any = near_any | other_occ[(raw + jnp.int32(d)) & jnp.int32(H - 1)]
+    near = use & near_any
 
     slot = jnp.where(near, jnp.arange(hn, dtype=jnp.int32), hn)
     order = jnp.argsort(slot, stable=True)[:dev_halo_cap]
@@ -297,11 +323,15 @@ def sharded_blocked_dbscan(
         fixpoint_max_rounds = pc.fixpoint_max_rounds
     if halo_width_eps is None:
         halo_width_eps = pc.halo_width_eps
+    gmetric = grid_metric(metric, D)
     if noise_recluster == "auto":
-        noise_recluster = "grid" if metric in ("l1_motor", "l2_xyz") and \
-            D == 2 else "dense"
-    if halo_mode == "hier" and D != 2:
-        halo_mode = "ring"  # the grid-hash local stage is 2D-only
+        noise_recluster = "grid" if gmetric is not None else "dense"
+    if noise_recluster == "grid" and gmetric is None:
+        raise ValueError(
+            f"metric {metric!r} has no grid form; use noise_recluster='dense'")
+    if halo_mode == "hier" and gmetric is None:
+        raise ValueError(
+            f"metric {metric!r} has no grid form; use halo_mode='ring'")
 
     def local_fusion_ids(labels_loc, valid_loc, dev_idx):
         """Counts for the local shard: [Bloc, cap+1]."""
@@ -373,8 +403,7 @@ def sharded_blocked_dbscan(
         cf_seed = (n_kept - 1) if quirks else n_kept
         if noise_recluster == "grid":
             re = dbscan_grid(
-                all_noise, all_sel, eps, min_pts,
-                "l1_motor" if metric == "l1_motor" else "l2_xy",
+                all_noise, all_sel, eps, min_pts, gmetric,
                 cf=cf_seed, cell_cap=noise_cell_cap,
             )
             noise_ovf = noise_ovf + re["overflow"]
@@ -410,14 +439,9 @@ def sharded_blocked_dbscan(
                 uni = union_ids(hx, hlab, hval, n_total, eps, metric,
                                 max_ids)
             elif halo_mode == "hier":
-                big = jnp.asarray(1e30, coords_loc.dtype)
-                vc = valid_loc[..., None]
-                lo_dev = jnp.min(jnp.where(vc, coords_loc, big), (0, 1))
-                hi_dev = jnp.max(jnp.where(vc, coords_loc, -big), (0, 1))
                 uni, hovf2 = _hier_union(
-                    hx, hlab, hval, lo_dev, hi_dev, n_total, eps,
-                    "l1_motor" if metric == "l1_motor" else "l2_xy",
-                    max_ids, axis, ndev, fixpoint_max_rounds,
+                    hx, hlab, hval, n_total, eps,
+                    gmetric, max_ids, axis, ndev, fixpoint_max_rounds,
                     dev_halo_cap, halo_cell_cap,
                 )
                 halo_ovf = halo_ovf + hovf2
