@@ -1,11 +1,14 @@
 """Tier 4 (BASELINE.json config 4): sequential 100-scan trajectory,
-scan-to-map ICP odometry + pose-graph optimization."""
+ICP odometry + pose-graph optimization + cluster-centroid bundle
+adjustment (ATE reported for every stage; BA must not regress the
+pose-graph solution)."""
 import numpy as np
 
 from common import setup_jax, timed, emit
 
 S = 100
 N_PER_SCAN = 2048
+N_LANDMARKS = 48
 
 
 def main():
@@ -13,11 +16,22 @@ def main():
     import jax.numpy as jnp
     from vtkcloudpoint_tpu.config import ICPConfig
     from vtkcloudpoint_tpu.ops import se3
-    from vtkcloudpoint_tpu.slam.trajectory import slam_pipeline
+    from vtkcloudpoint_tpu.slam.trajectory import slam_pipeline_ba
     from vtkcloudpoint_tpu.slam.posegraph import absolute_trajectory_error
 
     rng = np.random.default_rng(0)
-    world = rng.uniform(-30, 30, size=(N_PER_SCAN, 3)) * np.array([1, 1, 0.2])
+    # landmark-structured world (the reference's survey-marker regime,
+    # FrmMain.cs:841-907): dense blobs the per-scan DBSCAN can find, plus
+    # unstructured background
+    marks = rng.uniform(-30, 30, size=(N_LANDMARKS, 3)) * np.array(
+        [1, 1, 0.2])
+    per = (2 * N_PER_SCAN // 3) // N_LANDMARKS
+    blob = (marks[:, None, :]
+            + 0.08 * rng.standard_normal((N_LANDMARKS, per, 3))
+            ).reshape(-1, 3)
+    bg = rng.uniform(-30, 30, size=(N_PER_SCAN - len(blob), 3)) * np.array(
+        [1, 1, 0.2])
+    world = np.concatenate([blob, bg])
     # drifting loop trajectory
     r_true = [np.eye(3)]
     t_true = [np.zeros(3)]
@@ -33,23 +47,29 @@ def main():
     ]).astype(np.float32)
     valid = np.ones((S, N_PER_SCAN), bool)
 
-    def run():
-        return slam_pipeline(jnp.asarray(scans), jnp.asarray(valid),
-                             ICPConfig(max_iterations=30, tol=1e-10),
-                             loop_radius=3.0, gn_iterations=8)
-
     import time
     t0 = time.perf_counter()
-    opt, odo, cost = run()
-    ate_odo = float(absolute_trajectory_error(
-        odo.r, odo.t, jnp.asarray(r_true), jnp.asarray(t_true)))
-    ate_opt = float(absolute_trajectory_error(
-        opt.r, opt.t, jnp.asarray(r_true), jnp.asarray(t_true)))
+    ba, pg, odo, stats = slam_pipeline_ba(
+        jnp.asarray(scans), jnp.asarray(valid),
+        ICPConfig(max_iterations=30, tol=1e-10),
+        loop_radius=3.0, gn_iterations=8,
+        landmark_eps=0.5, landmark_min_pts=8,
+        max_clusters_per_scan=64, ba_iterations=8)
+
+    def ate(tr):
+        return float(absolute_trajectory_error(
+            tr.r, tr.t, jnp.asarray(r_true), jnp.asarray(t_true)))
+
+    ate_odo, ate_pg, ate_ba = ate(odo), ate(pg), ate(ba)
     dt = time.perf_counter() - t0
-    emit(metric="tier4_slam_ate", value=ate_opt, ate_odometry=ate_odo,
-         scans=S, points_per_scan=N_PER_SCAN,
-         wall_s=round(dt, 2), graph_cost=float(cost))
-    assert ate_opt <= ate_odo * 1.05
+    emit(metric="tier4_slam_ate", value=ate_ba, ate_odometry=ate_odo,
+         ate_posegraph=ate_pg, ate_ba=ate_ba,
+         n_landmarks=int(stats["n_landmarks"]), scans=S,
+         points_per_scan=N_PER_SCAN, wall_s=round(dt, 2),
+         graph_cost=float(stats["graph_cost"]),
+         ba_cost=float(stats["ba_cost"]))
+    assert ate_pg <= ate_odo * 1.05
+    assert ate_ba <= ate_pg * 1.05
 
 
 if __name__ == "__main__":

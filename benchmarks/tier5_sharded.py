@@ -151,23 +151,40 @@ def main():
                  n_clusters_gather=int(ref["n_total"]))
             assert same, f"{HALO_MODE} union != gather union at {n} points"
 
-    # distributed ICP at the largest mesh
+    # distributed LARGE-TARGET ICP at the largest mesh: the full tier cloud
+    # is the map (sharded over devices, per-shard grid locators), queries
+    # ride the ppermute ring (parallel.sharded.sharded_icp_grid)
+    from vtkcloudpoint_tpu.parallel.sharded import sharded_icp_grid
+    from vtkcloudpoint_tpu.ops import se3
+
     ndev = sizes[-1]
     mesh = make_mesh(ndev)
     n_icp = N_ICP_PER_DEV * ndev
+    m_tgt = n  # the last weak-scaling cloud size
     rng = np.random.default_rng(0)
-    src = rng.uniform(-1, 1, size=(n_icp, 3)).astype(np.float32)
-    from vtkcloudpoint_tpu.ops import se3
-    tgt = (src @ np.asarray(se3.rotz(0.1), np.float32).T
-           + np.float32([0.2, -0.1, 0.05]))
+    tgt3 = np.concatenate(
+        [motor, np.zeros((m_tgt, 1), np.float32)], axis=1)
+    sel = rng.choice(m_tgt, n_icp, replace=False)
+    r_true = np.asarray(se3.rotz(0.02), np.float32)
+    t_true = np.float32([2e-3, -1e-3, 5e-4])
+    src = (tgt3[sel] - t_true) @ r_true
+    if CLOUD == "disk":
+        cell = float((32.0 / (PTS_PER_CLUSTER /
+                              (3.14159265 * DISK_RADIUS ** 2))) ** 0.5)
+    else:
+        cell = 0.01
     t0 = time.perf_counter()
-    r, t, d, it = sharded_icp(
-        mesh, jnp.asarray(src), jnp.ones(n_icp, bool), jnp.asarray(tgt),
-        jnp.ones(n_icp, bool), ICPConfig(tol=1e-10))
-    err = float(d)
+    r, t, d, it, ovf = sharded_icp_grid(
+        mesh, jnp.asarray(src), jnp.ones(n_icp, bool), jnp.asarray(tgt3),
+        jnp.ones(m_tgt, bool), ICPConfig(tol=1e-10, max_iterations=30),
+        cell_size=cell, cell_cap=128, fallback_cap=4096,
+        chunk=min(4096, n_icp // ndev))
+    rot_err = float(np.abs(np.asarray(r) - r_true).max())
     dt = time.perf_counter() - t0
-    emit(metric="tier5_sharded_icp", devices=ndev, points=n_icp,
-         error=err, iters=int(it), wall_s=round(dt, 2))
+    emit(metric="tier5_sharded_icp_grid", devices=ndev,
+         target_points=m_tgt, query_points=n_icp, cell_size=cell,
+         residual=float(d), rot_err_vs_truth=rot_err, iters=int(it),
+         nn_overflow=int(ovf), wall_s=round(dt, 2))
 
 
 if __name__ == "__main__":

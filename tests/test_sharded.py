@@ -224,3 +224,39 @@ def test_sharded_halo_hier_matches_gather_3d(mesh):
                                   np.asarray(gath["label"]))
     assert int(hier["n_total"]) == int(gath["n_total"]) == 2
     assert int(hier["halo_overflow"]) == 0
+
+
+def test_sharded_icp_grid_matches_single_device(mesh):
+    """Sharded large-target ICP (per-shard grid locators + query ring) ==
+    single-device icp_grid on the gathered target (VERDICT r2 item 5)."""
+    from vtkcloudpoint_tpu.parallel.sharded import sharded_icp_grid
+    from vtkcloudpoint_tpu.register.nn_grid import icp_grid
+
+    rng = np.random.default_rng(11)
+    m = 8 * 2048
+    n = 8 * 256
+    tgt = rng.uniform(-2, 2, size=(m, 3)).astype(np.float32)
+    src = np.asarray(tgt[rng.choice(m, n, replace=False)])
+    r_true = np.asarray(se3.rotz(0.05), np.float32)
+    t_true = np.float32([0.08, -0.05, 0.02])
+    src = (src - t_true) @ r_true  # icp recovers (r_true, t_true)
+
+    cfg = ICPConfig(max_iterations=30, tol=1e-12)
+    cell = 0.25
+    r_s, t_s, d_s, it_s, ovf = sharded_icp_grid(
+        mesh, jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt),
+        jnp.ones(m, bool), cfg, cell_size=cell, cell_cap=64,
+        fallback_cap=512, chunk=512)
+    assert int(ovf) == 0
+    res, ovf1 = icp_grid(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt),
+        jnp.ones(m, bool), cfg, cell_size=cell, cell_cap=64,
+        fallback_cap=512, chunk=512)
+    assert int(ovf1) == 0
+    # same correspondence sets + same moment-form solve => same trajectory
+    np.testing.assert_allclose(np.asarray(r_s), np.asarray(res.r),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_s), np.asarray(res.t),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r_s), r_true, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_s), t_true, atol=2e-3)

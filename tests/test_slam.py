@@ -202,3 +202,43 @@ def test_scan_to_map_grid_nn_matches_brute(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(tg.r), np.asarray(tb.r),
                                atol=1e-6)
+
+
+def test_slam_pipeline_ba_refines(rng):
+    """Landmark BA wired end-to-end (VERDICT r2 item 6): per-scan cluster
+    centroids -> Observations -> Schur BA; must not regress the pose-graph
+    ATE and should associate one landmark per physical marker."""
+    from vtkcloudpoint_tpu.slam.trajectory import slam_pipeline_ba
+    from vtkcloudpoint_tpu.slam.posegraph import absolute_trajectory_error
+
+    s, n, n_marks = 24, 600, 10
+    r_true, t_true = make_loop_trajectory(s, rng, step=0.5)
+    marks = rng.uniform(-6, 6, size=(n_marks, 3)) * np.array([1, 1, 0.2])
+    per = (2 * n // 3) // n_marks
+    blob = (marks[:, None, :]
+            + 0.05 * rng.standard_normal((n_marks, per, 3))).reshape(-1, 3)
+    bg = rng.uniform(-6, 6, size=(n - len(blob), 3)) * np.array([1, 1, 0.2])
+    world = np.concatenate([blob, bg])
+    scans = np.stack([
+        (world - t_true[k]) @ r_true[k]
+        + 0.01 * rng.standard_normal((n, 3))
+        for k in range(s)
+    ])
+    valid = np.ones((s, n), bool)
+    # loop_radius ~0: NO loop closures, so the pose graph keeps the raw
+    # odometry drift -- the BA stage alone must recover it through
+    # landmarks re-observed across the loop (the marker-survey use case)
+    ba, pg, odo, stats = slam_pipeline_ba(
+        jnp.asarray(scans), jnp.asarray(valid),
+        ICPConfig(max_iterations=25, tol=1e-10), loop_radius=1e-3,
+        gn_iterations=6, landmark_eps=0.3, landmark_min_pts=8,
+        max_clusters_per_scan=24, ba_iterations=6)
+
+    def ate(tr):
+        return float(absolute_trajectory_error(
+            tr.r, tr.t, jnp.asarray(r_true), jnp.asarray(t_true)))
+
+    assert ate(pg) <= ate(odo) * 1.05
+    # BA must measurably beat the drifting pose-graph-only solution
+    assert ate(ba) <= ate(pg) * 0.7
+    assert int(stats["n_landmarks"]) >= n_marks // 2

@@ -474,6 +474,153 @@ def sharded_blocked_dbscan(
     }
 
 
+def sharded_icp_grid(
+    mesh: Mesh,
+    source,
+    source_valid,
+    target,
+    target_valid,
+    cfg: ICPConfig = ICPConfig(),
+    cell_size: float = 1.0,
+    cell_cap: int = 16,
+    fallback_cap: int = 1024,
+    chunk: int = 4096,
+    axis: str = "blocks",
+):
+    """Distributed LARGE-TARGET ICP: target sharded over the mesh, queries
+    ride a ppermute ring, correspondences resolve against per-shard grid
+    locators (VERDICT r2 item 5; the tier-5 "50M-pt map" registration path).
+
+    Layout: source AND target shard over the mesh ``axis``. Each device
+    builds ONE grid (register.nn_grid.build_nn_grid) over its local target
+    shard. Per ICP iteration the device's transformed source block
+    circulates the ring; at each of the ndev hops the visiting queries
+    resolve their exact local-shard NN in O(q * 3^3 * cell_cap) (grid
+    stencil + brute fallback, same exactness contract as nn_grid) and fold
+    it into a running (best_d2, best_y); after ndev hops the buffer is home
+    carrying the exact GLOBAL nearest neighbor. The Horn solve reduces with
+    one psum of the weighted moments (ops.se3.horn_from_moments, shared
+    with every other ICP path).
+
+    Per-hop payload is 7 floats/query -- the ring moves queries, never the
+    target, so collective bytes scale with the source, not the map.
+    Queries whose NN was not provably resolved on every shard (stencil
+    overflow beyond fallback_cap) drop out of that iteration's solve
+    (trimmed ICP, weight 0) and are counted in the returned overflow.
+
+    Returns (r, t, error, iterations, overflow). With zero overflow the
+    transform equals single-device register.nn_grid.icp_grid on the
+    gathered target (tested in tests/test_sharded.py).
+    """
+    n = source.shape[0]
+    m = target.shape[0]
+    ndev = mesh.shape[axis]
+    assert n % ndev == 0 and m % ndev == 0
+    perm = [(i, (i + 1) % ndev) for i in range(ndev)]
+
+    from ..register.nn_grid import build_nn_grid, nn_grid
+
+    def fn(src_loc, sv_loc, tgt_loc, tv_loc):
+        dtype = src_loc.dtype
+        grid = build_nn_grid(tgt_loc, tv_loc, cell_size)
+        nloc = src_loc.shape[0]
+
+        def global_nn(p):
+            """Exact global NN via the query ring: (y [nloc,3], d2, ok)."""
+            big = jnp.asarray(jnp.inf, dtype)
+
+            def hop(_step, carry):
+                vq, vd2, vy, vok, ovf = carry
+                idx, d2, resolved, o = nn_grid(
+                    grid, vq, tgt_loc, tv_loc, cell_size,
+                    cell_cap=cell_cap, fallback_cap=fallback_cap,
+                    chunk=chunk,
+                )
+                better = d2 < vd2
+                vd2 = jnp.where(better, d2, vd2)
+                vy = jnp.where(better[:, None], tgt_loc[idx], vy)
+                vok = vok & resolved
+                ovf = ovf + o
+                vq = jax.lax.ppermute(vq, axis, perm)
+                vd2 = jax.lax.ppermute(vd2, axis, perm)
+                vy = jax.lax.ppermute(vy, axis, perm)
+                vok = jax.lax.ppermute(vok, axis, perm)
+                return vq, vd2, vy, vok, ovf
+
+            # literal inits must be marked device-varying up front so the
+            # fori_loop carry types match after the first ppermute (same
+            # trick as _ring_union's constraint map)
+            init = (
+                p,
+                jax.lax.pcast(jnp.full(nloc, big, dtype), (axis,),
+                              to="varying"),
+                jax.lax.pcast(jnp.zeros((nloc, 3), dtype), (axis,),
+                              to="varying"),
+                jax.lax.pcast(jnp.ones(nloc, bool), (axis,), to="varying"),
+                jnp.int32(0),
+            )
+            _, d2, y, ok, ovf = jax.lax.fori_loop(0, ndev, hop, init)
+            return y, d2, ok, ovf
+
+        def body(state):
+            r, t, prev_d, it, _, ovf = state
+            p = se3.apply_rigid(r, t, src_loc)
+            y, d2, ok, o = global_nn(p)
+            w = (sv_loc & ok & jnp.isfinite(d2)).astype(dtype)
+            sw = jnp.sum(w)
+            sp = jnp.sum(p * w[:, None], 0)
+            sy = jnp.sum(y * w[:, None], 0)
+            spy = (p * w[:, None]).T @ y
+            sd = jnp.sum(jnp.where(w > 0, d2, 0.0))
+            tot = jax.lax.psum(
+                jnp.concatenate(
+                    [sw[None], sp, sy, spy.reshape(-1), sd[None]]
+                ),
+                axis,
+            )
+            d = tot[16]
+            r1, t1 = se3.horn_from_moments(
+                tot[0], tot[1:4], tot[4:7], tot[7:16].reshape(3, 3)
+            )
+            r_new, t_new = se3.compose(r1, t1, r, t)
+            return (r_new, t_new, d, it + 1,
+                    jnp.abs(d - prev_d) < cfg.tol,
+                    ovf + jax.lax.psum(o, axis))
+
+        def cond(state):
+            return (~state[4]) & (state[3] < cfg.max_iterations)
+
+        r0 = jnp.eye(3, dtype=dtype)
+        if cfg.start_by_matching_centroids:
+            sw = jax.lax.psum(jnp.sum(sv_loc.astype(dtype)), axis)
+            sp = jax.lax.psum(
+                jnp.sum(src_loc * sv_loc.astype(dtype)[:, None], 0), axis
+            )
+            tw = jax.lax.psum(jnp.sum(tv_loc.astype(dtype)), axis)
+            tp = jax.lax.psum(
+                jnp.sum(tgt_loc * tv_loc.astype(dtype)[:, None], 0), axis
+            )
+            t0 = tp / jnp.maximum(tw, 1.0) - sp / jnp.maximum(sw, 1.0)
+        else:
+            t0 = jnp.zeros(3, dtype)
+        r, t, d, it, conv, ovf = jax.lax.while_loop(
+            cond, body,
+            (r0, t0, jnp.inf, jnp.int32(0), jnp.array(False), jnp.int32(0)),
+        )
+        return r[None], t[None], d[None], it[None], ovf[None]
+
+    r, t, d, it, ovf = jax.jit(
+        shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P(), P(), P(), P()),
+            check_vma=False,
+        )
+    )(source, source_valid, target, target_valid)
+    return r[0], t[0], d[0], it[0], ovf[0]
+
+
 def sharded_icp(
     mesh: Mesh,
     source,

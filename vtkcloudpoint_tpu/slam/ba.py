@@ -361,3 +361,72 @@ def bundle_adjust_sharded(mesh: Mesh, rot0, t0, lms0, obs: Observations,
         )
     )(op.pose, op.lm, op.z, op.weight, rot0, t0, lms0)
     return r_out, t_out, l_out, cost[0]
+
+
+def observations_from_scans(scans, scan_valid, traj_r, traj_t,
+                            eps: float, min_pts: int,
+                            max_clusters_per_scan: int = 32,
+                            assoc_eps: float = None,
+                            assoc_cell_cap: int = 64):
+    """Build landmark ``Observations`` from per-scan cluster centroids
+    (VERDICT r2 item 6: the BA solver gets a pipeline).
+
+    The reference's registration targets ARE cluster centroids (survey
+    markers, FrmMain.cs:841-907); the BA extension treats each physical
+    marker as a landmark observed by every scan that clusters it:
+
+    1. each scan clusters independently (DBSCAN l2_xyz, the per-scan analog
+       of C7) and reduces to <= max_clusters_per_scan centroids in SCAN
+       frame (the observation z);
+    2. centroids transform into world by the current trajectory estimate
+       and associate by eps-connectivity (dbscan_grid over the S*K centroid
+       cloud with min_pts=1: connected components = landmarks) --
+       association reuses the exact grid engine, so two scans' views of one
+       marker land in one component whenever the trajectory is within
+       assoc_eps (default 4*eps) of the truth;
+    3. landmark initial positions are the component means.
+
+    Returns (Observations, lms0 [L_cap, 3], n_landmarks) with
+    L_cap = S * max_clusters_per_scan + 1; invalid slots carry weight 0
+    (exact no-ops in the BA normal equations).
+    """
+    from ..cluster.dbscan import dbscan_padded
+    from ..cluster.grid import dbscan_grid
+    from ..ops.segment import cluster_stats
+
+    s, n, _ = scans.shape
+    k = max_clusters_per_scan
+    dtype = scans.dtype
+    if assoc_eps is None:
+        assoc_eps = 4.0 * eps
+
+    def one_scan(args):
+        scan, sv = args
+        db = dbscan_padded(scan, sv, eps, min_pts, "l2_xyz")
+        st = cluster_stats(scan, scan[:, :2], db["label"], sv, k + 1)
+        return st["center3d"], st["count"] > 0
+
+    cents, cval = jax.lax.map(one_scan, (scans, scan_valid))  # [S,K+1,..]
+    cents = cents[:, 1:, :]                  # drop noise row -> [S,K,3]
+    cval = cval[:, 1:]
+    world = jnp.einsum("sab,skb->ska", traj_r, cents) + traj_t[:, None, :]
+
+    flat_w = world.reshape(s * k, 3)
+    flat_z = cents.reshape(s * k, 3)
+    flat_v = cval.reshape(s * k)
+    comp = dbscan_grid(flat_w, flat_v, assoc_eps, 1, "l2_xyz",
+                       cell_cap=assoc_cell_cap)
+    lm = comp["label"]                       # 1..L, 0 invalid
+    l_cap = s * k + 1
+    cnt = jax.ops.segment_sum(flat_v.astype(dtype), lm,
+                              num_segments=l_cap)
+    lm_sum = jax.ops.segment_sum(
+        jnp.where(flat_v[:, None], flat_w, 0.0), lm, num_segments=l_cap)
+    lms0 = lm_sum / jnp.maximum(cnt, 1.0)[:, None]
+    obs = Observations(
+        pose=jnp.repeat(jnp.arange(s, dtype=jnp.int32), k),
+        lm=lm,
+        z=flat_z,
+        weight=flat_v.astype(dtype),
+    )
+    return obs, lms0, comp["n_clusters"]
