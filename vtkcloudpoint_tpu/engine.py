@@ -112,15 +112,17 @@ class Engine:
                      max_clusters: int = 4096):
         """Tier-3 global path: grid-hash DBSCAN (no blocking) + centroids.
         Bit-compatible with plain reference DBSCAN over the whole scan."""
-        from .cluster.grid import dbscan_grid
+        from .cluster.grid import dbscan_grid, grid_metric
+        from .ops.metrics import coords_for_metric
         from .ops.segment import cluster_stats
 
-        out = dbscan_grid(batch.motor, batch.valid, self.cfg.cluster.eps,
-                          self.cfg.cluster.min_pts,
-                          self.cfg.cluster.metric
-                          if self.cfg.cluster.metric == "l1_motor"
-                          else "l1_motor",
-                          cell_cap=cell_cap)
+        metric = self.cfg.cluster.metric
+        coords = coords_for_metric(batch.xyz, batch.motor, metric)
+        gm = grid_metric(metric, coords.shape[-1])
+        if gm is None:   # signed_sum_xy has no grid form; motor-L1 instead
+            coords, gm = batch.motor, "l1_motor"
+        out = dbscan_grid(coords, batch.valid, self.cfg.cluster.eps,
+                          self.cfg.cluster.min_pts, gm, cell_cap=cell_cap)
         stats = cluster_stats(batch.xyz, batch.motor, out["label"],
                               batch.valid, max_clusters)
         return out, stats

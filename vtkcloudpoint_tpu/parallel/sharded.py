@@ -335,14 +335,9 @@ def sharded_blocked_dbscan(
 
     def local_fusion_ids(labels_loc, valid_loc, dev_idx):
         """Counts for the local shard: [Bloc, cap+1]."""
-        bloc = labels_loc.shape[0]
-        seg = (
-            jnp.arange(bloc, dtype=jnp.int32)[:, None] * kmax + labels_loc
-        ).reshape(-1)
-        w = valid_loc.reshape(-1).astype(jnp.int32)
-        return jax.ops.segment_sum(w, seg, num_segments=bloc * kmax).reshape(
-            bloc, kmax
-        )
+        from ..cluster.fusion import _block_label_counts
+
+        return _block_label_counts(labels_loc, valid_loc, kmax)
 
     def fn(coords_loc, valid_loc):
         dev = jax.lax.axis_index(axis)
@@ -378,10 +373,14 @@ def sharded_blocked_dbscan(
         my_rows = dev * bloc + jnp.arange(bloc)
         keep_full = jnp.concatenate([jnp.zeros((B, 1), bool), keep], 1)[my_rows]
         gid_full = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), gid], 1)[my_rows]
+        # flat 1D gather (2D advanced indexing is a slow general-gather on
+        # TPU; see cluster/fusion.py)
         b_idx = jnp.arange(bloc)[:, None]
-        point_keep = keep_full[b_idx, labels_loc]
+        flat_idx = (b_idx * kmax + labels_loc).reshape(-1)
+        point_keep = keep_full.reshape(-1)[flat_idx].reshape(bloc, cap)
         point_gid = jnp.where(
-            valid_loc & point_keep, gid_full[b_idx, labels_loc], 0
+            valid_loc & point_keep,
+            gid_full.reshape(-1)[flat_idx].reshape(bloc, cap), 0
         )
 
         # ---- noise re-cluster across shards ----
@@ -436,8 +435,20 @@ def sharded_blocked_dbscan(
                 hx = jax.lax.all_gather(hx, axis).reshape(-1, D)
                 hlab = jax.lax.all_gather(hlab, axis).reshape(-1)
                 hval = jax.lax.all_gather(hval, axis).reshape(-1)
-                uni = union_ids(hx, hlab, hval, n_total, eps, metric,
-                                max_ids)
+                if gmetric is not None:
+                    # O(H x stencil) grid union: the dense [H, H] pairwise
+                    # union is quadratic in the WORLD halo count (5 TB at
+                    # 1M halo points) and only survives toy scales
+                    from ..cluster.halo_fusion import grid_union_ids
+
+                    uni = grid_union_ids(
+                        hx, hlab, hval, n_total, eps, gmetric, max_ids,
+                        cell_cap=halo_cell_cap,
+                        max_rounds=fixpoint_max_rounds)
+                    halo_ovf = halo_ovf + uni["overflow"]
+                else:
+                    uni = union_ids(hx, hlab, hval, n_total, eps, metric,
+                                    max_ids)
             elif halo_mode == "hier":
                 uni, hovf2 = _hier_union(
                     hx, hlab, hval, n_total, eps,
