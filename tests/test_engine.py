@@ -88,3 +88,57 @@ def test_determinism(scan_folder):
     np.testing.assert_array_equal(np.asarray(r1.label), np.asarray(r2.label))
     np.testing.assert_array_equal(np.asarray(r1.radius3d),
                                   np.asarray(r2.radius3d))
+
+
+def test_engine_cluster_sharded_matches_single():
+    """Engine facade for the tier-5 sharded path: labels mapped back to
+    point order must equal the single-device reference-mode pipeline's
+    cluster STRUCTURE (id partitions; numbering differs since the sharded
+    path uses clean fusion + halo union)."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.engine import Engine
+    from vtkcloudpoint_tpu.config import EngineConfig, ClusterConfig
+    from vtkcloudpoint_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(3)
+    k = 12
+    centers = rng.uniform(0.1, 0.9, (k, 2))
+    motor = np.concatenate(
+        [c + 0.004 * rng.standard_normal((70, 2)) for c in centers]
+    ).astype(np.float32)
+    rng.shuffle(motor)
+    n = len(motor)
+    eng = Engine(EngineConfig(cluster=ClusterConfig(
+        eps=0.02, min_pts=5, block_capacity=128)))
+    batch = eng.import_arrays(motor, np.full(n, 10.0, np.float32))
+    out = eng.cluster_sharded(batch, mesh=make_mesh(8),
+                              noise_capacity_per_device=256,
+                              halo_cap=128, halo_cell_cap=96,
+                              max_ids=1024, quirks=False)
+    lab_blocks = np.asarray(out["label"]).reshape(-1)
+    pidx = np.asarray(out["point_index"]).reshape(-1)
+    lab = np.zeros(batch.capacity, np.int32)
+    lab[pidx[pidx >= 0]] = lab_blocks[pidx >= 0]
+    valid = np.asarray(batch.valid)
+    # the facade's contract: no capacity drops, nearly all points labeled,
+    # every blob dominated by one id. (Blocked fusion may cull tiny
+    # cross-block fragments and the noise re-cluster assigns NEW ids to
+    # recovered fragments -- reference semantics, FrmMain.cs:1507-1520 --
+    # so n_total can exceed the blob count and plain global DBSCAN is NOT
+    # the oracle here.)
+    assert int(out["n_total"]) >= k
+    assert int(out["noise_overflow"]) == 0
+    assert int(out["halo_overflow"]) == 0
+    assert (lab[valid] > 0).mean() > 0.9
+    d = np.linalg.norm(motor[:, None, :] - centers[None], axis=-1)
+    blob_of = d.argmin(1)
+    lab, valid = lab[:n], valid[:n]   # batch rows 0..n-1 = input order
+    for bb in range(k):
+        ids = lab[valid & (blob_of == bb) & (lab > 0)]
+        top = np.bincount(ids).max()
+        assert top / len(ids) > 0.9, f"blob {bb} has no dominant cluster"

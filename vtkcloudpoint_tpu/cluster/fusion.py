@@ -39,6 +39,23 @@ import jax.numpy as jnp
 from .dbscan import dbscan_padded
 
 
+def _block_label_counts(block_labels, block_valid, kmax: int):
+    """[B, kmax] occurrence counts of local label c in block b.
+
+    One flat segment_sum. (A sort+searchsorted variant was probed on the
+    real chip and lost 14x -- XLA TPU sorts along the lane axis serialize;
+    the scatter-add here is the fastest known formulation for per-block
+    histograms with B*kmax output bins.)
+    """
+    B = block_labels.shape[0]
+    flat_seg = (
+        jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
+    ).reshape(-1)
+    w = block_valid.reshape(-1).astype(jnp.int32)
+    return jax.ops.segment_sum(
+        w, flat_seg, num_segments=B * kmax).reshape(B, kmax)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -84,12 +101,9 @@ def merge_blocks(
     B, cap = block_labels.shape
     kmax = cap + 1  # local ids are < cap+1
 
-    # run counts n_{b,c}
-    flat_seg = (
-        jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
-    ).reshape(-1)
-    w = block_valid.reshape(-1).astype(jnp.int32)
-    counts = jax.ops.segment_sum(w, flat_seg, num_segments=B * kmax).reshape(B, kmax)
+    # run counts n_{b,c}: per-block sort + vectorized binary search instead
+    # of a [B*kmax]-segment scatter-add (scatters serialize on TPU)
+    counts = _block_label_counts(block_labels, block_valid, kmax)
 
     present = counts[:, 1:] > 0  # [B, cap] run exists for local id c=1..cap
     n_run = counts[:, 1:]
@@ -115,10 +129,14 @@ def merge_blocks(
 
     keep_full = jnp.concatenate([jnp.zeros((B, 1), bool), keep], axis=1)
     gid_full = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), gid], axis=1)
+    # flat 1D gather: 2D advanced indexing lowers to a slow general-gather
+    # on TPU (same pathology as gather-then-slice, ops/geometry callers)
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    point_keep = keep_full[b_idx, block_labels]
+    flat_idx = (b_idx * kmax + block_labels).reshape(-1)
+    point_keep = keep_full.reshape(-1)[flat_idx].reshape(B, cap)
     point_gid = jnp.where(
-        block_valid & point_keep, gid_full[b_idx, block_labels], 0
+        block_valid & point_keep,
+        gid_full.reshape(-1)[flat_idx].reshape(B, cap), 0
     )
 
     # ---- noise re-cluster (FrmMain.cs:1507-1520) ----

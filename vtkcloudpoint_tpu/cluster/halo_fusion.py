@@ -28,12 +28,27 @@ from ..ops.metrics import pairwise
 
 
 def halo_buffers(block_coords, block_valid, block_labels, block_core,
-                 eps: float, halo_cap: int, shell_eps: float = None):
+                 eps: float, halo_cap: int, shell_eps: float = None,
+                 block_id_offset: int | jax.Array = 0, axis: str = None,
+                 cell_table_bits: int = 20):
     """Pack core boundary points into [B*halo_cap] buffers.
 
-    ``shell_eps`` is the boundary-shell width (>= eps guarantees every
-    cross-boundary core pair is captured; ParallelConfig.halo_width_eps
-    scales it for extra margin). Defaults to eps.
+    Boundary test: a point is in the halo iff some cell of its 3^D stencil
+    (GLOBAL ``shell_eps``-sized cells, hashed) contains a point from a
+    DIFFERENT block -- detected through scatter-min/max block-id tables.
+    This is partition-shape-agnostic. The earlier "within shell_eps of the
+    own-block bounding box" criterion is sound ONLY when block bboxes are
+    spatially disjoint (the reference's rows x cols grid); Morton
+    equal-count blocks can span two distant regions, leaving truly adjacent
+    points in the bbox INTERIOR -- cross-block merges were silently missed
+    (caught by tests/test_engine.py::test_engine_cluster_sharded...).
+    Hash collisions only ADD halo points (sound). ``shell_eps`` >= eps
+    guarantees every cross-block eps-pair is captured
+    (ParallelConfig.halo_width_eps scales it). Defaults to eps.
+
+    ``block_id_offset`` makes block ids globally unique across devices and
+    ``axis`` (when given) pmin/pmax-reduces the occupancy tables over the
+    mesh, so per-device calls see every OTHER device's blocks too.
 
     Returns (hx [M, D], hlab i32[M], hvalid bool[M], halo_overflow i32[]).
     """
@@ -43,14 +58,41 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     halo_cap = min(halo_cap, cap)
     big = jnp.asarray(1e30, block_coords.dtype)
 
-    lo = jnp.min(jnp.where(block_valid[..., None], block_coords, big), axis=1)
-    hi = jnp.max(jnp.where(block_valid[..., None], block_coords, -big), axis=1)
-    near_edge = jnp.any(
-        (block_coords - lo[:, None, :] <= shell_eps)
-        | (hi[:, None, :] - block_coords <= shell_eps),
-        axis=-1,
-    )
-    is_halo = block_valid & near_edge & block_core & (block_labels > 0)
+    from itertools import product as _product
+
+    from .grid import _PRIMES
+
+    def _wrap32(v):
+        return ((v + 2**31) % 2**32) - 2**31
+
+    H = 1 << cell_table_bits
+    hmask = jnp.int32(H - 1)
+    cidx = jnp.floor(block_coords / shell_eps).astype(jnp.int32)  # [B,cap,D]
+    raw = jnp.zeros((B, cap), jnp.int32)
+    for ax_ in range(d):
+        raw = raw + cidx[..., ax_] * jnp.int32(_PRIMES[ax_])
+    deltas = [
+        _wrap32(sum(int(o[ax_]) * _PRIMES[ax_] for ax_ in range(d)))
+        for o in _product((-1, 0, 1), repeat=d)
+    ]
+    bid = (jnp.arange(B, dtype=jnp.int32)[:, None]
+           + jnp.asarray(block_id_offset, jnp.int32))       # [B, 1]
+    bid_full = jnp.broadcast_to(bid, (B, cap))
+    occupied = block_valid
+    own_idx = raw & hmask
+    imax = jnp.int32(2**31 - 1)
+    bmin = jnp.full(H, imax, jnp.int32).at[own_idx.reshape(-1)].min(
+        jnp.where(occupied, bid_full, imax).reshape(-1))
+    bmax = jnp.full(H, -1, jnp.int32).at[own_idx.reshape(-1)].max(
+        jnp.where(occupied, bid_full, -1).reshape(-1))
+    if axis is not None:
+        bmin = jax.lax.pmin(bmin, axis)
+        bmax = jax.lax.pmax(bmax, axis)
+    near_other = jnp.zeros((B, cap), bool)
+    for dl in deltas:
+        idx = (raw + jnp.int32(dl)) & hmask
+        near_other = near_other | (bmin[idx] < bid) | (bmax[idx] > bid)
+    is_halo = block_valid & near_other & block_core & (block_labels > 0)
 
     slot_key = jnp.where(is_halo, jnp.arange(cap)[None, :], cap)
     order = jnp.argsort(slot_key, axis=1, stable=True)[:, :halo_cap]

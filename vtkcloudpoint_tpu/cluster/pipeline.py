@@ -130,7 +130,7 @@ def cluster_scan(
     safe = jnp.clip(table, 0, n - 1)
     tvalid = table >= 0
     shapes3d = cluster_shapes(
-        jnp.where(tvalid[..., None], xyz[safe][..., :2], 0.0), tvalid,
+        jnp.where(tvalid[..., None], xyz[..., :2][safe], 0.0), tvalid,
         stats["count"], max_hull=max_hull,
         min_points=cfg.filters.circle_min_points,
     )

@@ -127,6 +127,58 @@ class Engine:
                               batch.valid, max_clusters)
         return out, stats
 
+    def cluster_sharded(self, batch: PointBatch, mesh=None,
+                        halo_mode: str = "hier", block_capacity: int = None,
+                        density: float = None, **kw):
+        """Multi-device clustering (tier 5): Morton blocks shard over the
+        mesh, per-device DBSCAN, noise re-cluster + hierarchical halo union
+        (parallel.sharded.sharded_blocked_dbscan).
+
+        ``density`` (points per unit metric-area), when given, sizes every
+        capacity through ParallelConfig.size_caps so a sized run cannot
+        silently drop points; otherwise pass explicit caps via **kw.
+        Returns the sharded result dict with labels in BLOCK layout plus
+        "point_index" [B, cap] mapping slots back to batch rows.
+        """
+        from .parallel.mesh import make_mesh
+        from .parallel.sharded import sharded_blocked_dbscan
+        from .cluster.blocks import (
+            assign_blocks_balanced, gather_blocks_ordered,
+        )
+        from .ops.metrics import coords_for_metric
+        from .config import ParallelConfig
+
+        mesh = mesh if mesh is not None else make_mesh()
+        ndev = mesh.devices.size
+        cap = block_capacity or self.cfg.cluster.block_capacity
+        coords = coords_for_metric(batch.xyz, batch.motor,
+                                   self.cfg.cluster.metric)
+        n = batch.capacity
+        b = -(-n // cap)
+        b += (-b) % ndev                      # blocks divisible by mesh
+        part = assign_blocks_balanced(batch.motor, batch.valid, cap)
+        bc, bv, pidx, _ = gather_blocks_ordered(
+            coords, part["order"], batch.valid, b, cap)
+        if density is not None:
+            caps = ParallelConfig.size_caps(
+                self.cfg.cluster.eps, density, cap,
+                blocks_per_device=b // ndev, noise_frac=0.01)
+            kw.setdefault("halo_cap", caps["halo_cap"])
+            kw.setdefault("halo_cell_cap", caps["cell_cap"])
+            kw.setdefault("noise_cell_cap", caps["cell_cap"])
+            kw.setdefault("dev_halo_cap", caps["dev_halo_cap"])
+            kw.setdefault("noise_capacity_per_device",
+                          caps["noise_capacity"])
+        out = sharded_blocked_dbscan(
+            mesh, bc, bv, eps=self.cfg.cluster.eps,
+            min_pts=self.cfg.cluster.min_pts,
+            metric=self.cfg.cluster.metric,
+            min_cluster_size=self.cfg.cluster.min_cluster_size,
+            halo_merge=True, halo_mode=halo_mode,
+            backend=self.cfg.backend, **kw)
+        out["point_index"] = pidx
+        return out
+
     def reject_by_radius(self, batch: PointBatch, result: ClusterResult,
                          radius: Optional[float] = None,
                          aspect: Optional[float] = None):

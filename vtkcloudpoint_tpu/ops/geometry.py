@@ -251,7 +251,7 @@ def min_area_rect(hull_pts, hull_valid):
 
 @partial(jax.jit, static_argnames=("max_hull", "min_points", "chunk_k"))
 def cluster_shapes(points, valid, counts, max_hull: int = 64,
-                   min_points: int = 4, chunk_k: int = 64):
+                   min_points: int = 4, chunk_k: int = 256):
     """Hull + MEC + min-rect for a batch of padded clusters.
 
     points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.

@@ -18,10 +18,49 @@ import jax
 import jax.numpy as jnp
 
 
+def indicator_segment_sum(values, seg, num_segments: int,
+                          chunk: int = 8192):
+    """segment-sum as one-hot matmuls: the MXU replacement for scatter-add.
+
+    XLA lowers jax.ops.segment_sum to a serialized scatter on TPU (~8 ms
+    for 500k points into 1k segments); an indicator matmul with full-f32
+    accumulation computes the identical sums at MXU speed (~1 ms measured
+    at the same shape). Exact: indicator entries are 0/1, products are the
+    original f32 values, accumulation is f32 (HIGHEST stops the MXU's
+    default bf16 input truncation).
+
+    values: [N, D]; seg: i32[N] in [0, num_segments] -- ids ==
+    num_segments are dropped (sentinel). Returns [num_segments, D].
+    """
+    n, d = values.shape
+    chunk = min(chunk, max(n, 1))
+    pad = (-n) % chunk
+    vals = jnp.pad(values, ((0, pad), (0, 0)))
+    sg = jnp.pad(seg, (0, pad), constant_values=num_segments)
+    ids = jnp.arange(num_segments, dtype=sg.dtype)
+
+    def step(acc, args):
+        lb, vl = args
+        oh = (lb[None, :] == ids[:, None]).astype(values.dtype)
+        return acc + jax.lax.dot(
+            oh, vl, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=values.dtype,
+        ), None
+
+    acc0 = jnp.zeros((num_segments, d), values.dtype)
+    out, _ = jax.lax.scan(
+        step, acc0, (sg.reshape(-1, chunk), vals.reshape(-1, chunk, d))
+    )
+    return out
+
+
 def cluster_counts(label, valid, num_segments: int):
     """Point count per cluster id. [num_segments] with row 0 = noise."""
-    w = valid.astype(jnp.int32)
-    return jax.ops.segment_sum(w, label, num_segments=num_segments)
+    w = valid.astype(jnp.float32)[:, None]
+    seg = jnp.where(valid, label, num_segments)
+    # counts <= 2^24 are exact in the f32 matmul accumulator
+    return indicator_segment_sum(w, seg, num_segments)[:, 0].astype(
+        jnp.int32)
 
 
 def cluster_means(values, label, valid, num_segments: int, weights=None):
@@ -33,27 +72,39 @@ def cluster_means(values, label, valid, num_segments: int, weights=None):
     w = valid.astype(values.dtype)
     if weights is not None:
         w = w * weights.astype(values.dtype)
-    sums = jax.ops.segment_sum(values * w[:, None], label, num_segments=num_segments)
-    cnt = jax.ops.segment_sum(w, label, num_segments=num_segments)
+    seg = jnp.where(valid, label, num_segments)
+    both = indicator_segment_sum(
+        jnp.concatenate([values * w[:, None], w[:, None]], axis=1),
+        seg, num_segments)
+    sums, cnt = both[:, :-1], both[:, -1]
     return sums / jnp.maximum(cnt, 1)[:, None], cnt
 
 
 @partial(jax.jit, static_argnames=("num_segments",))
 def cluster_stats(xyz, motor, label, valid, num_segments: int, mult=None):
-    """All reference centroid tables in one pass.
+    """All reference centroid tables in one pass (ONE indicator matmul).
 
     Returns dict:
       count    i32[K+1]  points per cluster (row 0 = noise)
       center3d f[K+1,3]  mean xyz        (Tools.cs:189 centers)
       center2d f[K+1,2]  mean motor      (Tools.cs:190 centers2D)
     """
-    center3d, _ = cluster_means(xyz, label, valid, num_segments, mult)
-    center2d, cnt = cluster_means(motor, label, valid, num_segments, mult)
+    dt = xyz.dtype
+    w = valid.astype(dt)
+    if mult is not None:
+        w = w * mult.astype(dt)
+    seg = jnp.where(valid, label, num_segments)
+    cols = jnp.concatenate(
+        [xyz * w[:, None], motor * w[:, None], w[:, None],
+         valid.astype(dt)[:, None]], axis=1)           # [N, 7]
+    sums = indicator_segment_sum(cols, seg, num_segments)
+    wcnt = sums[:, 5]
+    inv = 1.0 / jnp.maximum(wcnt, 1)
     return {
-        "count": cluster_counts(label, valid, num_segments),
-        "weighted_count": cnt,
-        "center3d": center3d,
-        "center2d": center2d,
+        "count": sums[:, 6].astype(jnp.int32),
+        "weighted_count": wcnt,
+        "center3d": sums[:, :3] * inv[:, None],
+        "center2d": sums[:, 3:5] * inv[:, None],
     }
 
 

@@ -429,6 +429,9 @@ def sharded_blocked_dbscan(
                 coords_loc, valid_loc, out_labels,
                 db["core"], eps, halo_cap,
                 shell_eps=eps * halo_width_eps,
+                # globally-unique block ids + mesh-reduced occupancy tables
+                # so the boundary test sees every other device's blocks
+                block_id_offset=dev * labels_loc.shape[0], axis=axis,
             )
             halo_ovf = jax.lax.psum(hov, axis)
             if halo_mode == "gather":
