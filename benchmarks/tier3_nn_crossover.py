@@ -47,7 +47,11 @@ def main():
             _ = np.asarray(get_r(out))
             return out, time.perf_counter() - t0
 
-        res_b, dt_b = timed(lambda: icp(sj, sv, tj, tv, cfg, chunk=4096),
+        # tile size bounded so the [chunk, m] distance block stays well
+        # under HBM (a 4096 x 1M f32 tile is 16 GB -- a worker-killing
+        # allocation on a 16 GB chip)
+        bchunk = max(128, min(4096, (1 << 29) // max(m, 1)))
+        res_b, dt_b = timed(lambda: icp(sj, sv, tj, tv, cfg, chunk=bchunk),
                             lambda o: o.r)
         (res_g, ovf), dt_g = timed(
             lambda: icp_grid(sj, sv, tj, tv, cfg, cell_size=1.0,

@@ -6,9 +6,10 @@ import numpy as np
 
 from common import setup_jax, timed, emit
 
-S = 100
-N_PER_SCAN = 2048
-N_LANDMARKS = 48
+import os as _os
+S = int(_os.environ.get("BENCH_T4_S", 100))
+N_PER_SCAN = int(_os.environ.get("BENCH_T4_N", 2048))
+N_LANDMARKS = int(_os.environ.get("BENCH_T4_MARKS", 48))
 
 
 def main():

@@ -260,3 +260,12 @@ def test_sharded_icp_grid_matches_single_device(mesh):
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(r_s), r_true, atol=2e-3)
     np.testing.assert_allclose(np.asarray(t_s), t_true, atol=2e-3)
+    # the brute per-shard locator (the TPU-first auto choice) is exact too
+    r_b, t_b, _, _, ovf_b = sharded_icp_grid(
+        mesh, jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt),
+        jnp.ones(m, bool), cfg, cell_size=cell, chunk=512, nn="brute")
+    assert int(ovf_b) == 0
+    np.testing.assert_allclose(np.asarray(r_b), np.asarray(r_s),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_s),
+                               rtol=0, atol=2e-5)

@@ -224,7 +224,7 @@ def min_area_rect(hull_pts, hull_valid):
     e = hull_pts[nxt] - hull_pts
     elen = jnp.sqrt(jnp.sum(e * e, axis=-1))
     edge_ok = hull_valid & (elen > 0)
-    u = e / jnp.maximum(elen, 1e-300)[:, None]
+    u = e / jnp.maximum(elen, 1e-30)[:, None]
     v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
     pu = hull_pts @ u.T  # [h_pts proj, h_edges] -> careful: [h,2]@[2,h]
     pv = hull_pts @ v.T
@@ -293,6 +293,6 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
         "rect_len1": jnp.where(skip, zero, l1),
         "rect_area": jnp.where(skip, zero, area),
         "aspect": jnp.where(
-            skip | (l1 <= 0), zero, l0 / jnp.maximum(l1, 1e-300)
+            skip | (l1 <= 0), zero, l0 / jnp.maximum(l1, 1e-30)
         ),
     }

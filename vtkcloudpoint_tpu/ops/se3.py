@@ -139,14 +139,22 @@ def so3_hat(w):
 
 
 def so3_exp(w):
-    """Rodrigues: rotation vector [3] -> R [3,3] (Taylor-safe near 0)."""
+    """Rodrigues: rotation vector [3] -> R [3,3] (Taylor-safe near 0).
+
+    Double-where guard: the non-Taylor branch's INPUT is replaced by a safe
+    value inside the small region, not just its output -- otherwise
+    d/dw sqrt(w.w) at w=0 is inf and jacfwd turns inf * 0 into NaN even
+    though the Taylor branch is selected. The guard constants must be
+    f32-representable (an earlier 1e-300 underflowed to 0 under f32 and
+    NaN-poisoned every Gauss-Newton Jacobian on TPU)."""
     theta2 = jnp.dot(w, w)
-    theta = jnp.sqrt(theta2 + 1e-300)
+    small = theta2 <= 1e-12
+    t2s = jnp.where(small, 1.0, theta2)
+    theta = jnp.sqrt(t2s)
     k = so3_hat(w)
-    a = jnp.where(theta2 > 1e-16, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    b = jnp.where(
-        theta2 > 1e-16, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0
-    )
+    a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / t2s)
     return jnp.eye(3, dtype=w.dtype) + a * k + b * (k @ k)
 
 
@@ -161,14 +169,18 @@ def so3_log(r):
     w = jnp.array(
         [r[2, 1] - r[1, 2], r[0, 2] - r[2, 0], r[1, 0] - r[0, 1]]
     )
-    # sin(theta) = |w| / 2; the +tiny keeps the sqrt gradient finite at 0
-    sin_t = 0.5 * jnp.sqrt(jnp.dot(w, w) + 1e-300)
+    # sin(theta) = |w| / 2. Double-where: the sqrt's INPUT is replaced
+    # inside the small region so its derivative stays finite at w = 0
+    # (see so3_exp; the old +1e-300 guard underflowed to 0 in f32 and the
+    # inf sqrt-gradient leaked NaN through every downstream where).
+    n2 = jnp.dot(w, w)
+    small = n2 < 1e-12
+    n2s = jnp.where(small, 1.0, n2)
+    sin_t = 0.5 * jnp.sqrt(n2s)
     cos_t = jnp.clip((jnp.trace(r) - 1.0) / 2.0, -1.0, 1.0)
     theta = jnp.arctan2(sin_t, cos_t)
-    small = sin_t < 1e-7
-    safe_sin = jnp.where(small, 1.0, sin_t)
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0,
-                      theta / (2.0 * safe_sin))
+    # small branch: theta ~= |w|/2, so theta^2/12 ~= n2/48
+    scale = jnp.where(small, 0.5 + n2 / 48.0, theta / (2.0 * sin_t))
     return scale * w
 
 

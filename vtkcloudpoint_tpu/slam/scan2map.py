@@ -52,7 +52,13 @@ def scan_to_map(
     s, n, _ = scans.shape
     dtype = scans.dtype
     if nn == "auto":
-        nn = "grid" if map_capacity > 8192 else "brute"
+        # TPU-first: brute pairwise NN rides the MXU and beats the
+        # gather-bound grid locator far beyond 8k map points on real chips
+        # (tier3_nn_crossover records brute 0.12 s vs grid 42 s at
+        # 100k x 1M on v5e); CPUs cross over much earlier.
+        on_tpu = jax.devices()[0].platform == "tpu"
+        nn = "grid" if map_capacity > (262144 if on_tpu else 8192) \
+            else "brute"
     cell = float(grid_cell_size if grid_cell_size is not None
                  else 4.0 * voxel_size)
 
