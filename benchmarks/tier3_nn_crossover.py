@@ -53,8 +53,18 @@ def main():
         bchunk = max(128, min(4096, (1 << 29) // max(m, 1)))
         res_b, dt_b = timed(lambda: icp(sj, sv, tj, tv, cfg, chunk=bchunk),
                             lambda o: o.r)
+        # cell sized to ~10 pts/cell for the slab geometry; the build
+        # (device argsort of m keys) is timed separately -- on TPU it
+        # dominates the locator's wall (199 s at 1M on v5e)
+        cell = max(0.25, (10.0 * (50.0 * 50.0 * 5.0) / m) ** (1.0 / 3.0))
+        from vtkcloudpoint_tpu.register.nn_grid import build_nn_grid
+
+        t0 = time.perf_counter()
+        g = build_nn_grid(tj, tv, cell)
+        _ = np.asarray(g.sc[:4])
+        dt_build = time.perf_counter() - t0
         (res_g, ovf), dt_g = timed(
-            lambda: icp_grid(sj, sv, tj, tv, cfg, cell_size=1.0,
+            lambda: icp_grid(sj, sv, tj, tv, cfg, cell_size=cell,
                              cell_cap=64, fallback_cap=4096),
             lambda o: o[0].r)
         dr = float(np.abs(np.asarray(res_b.r) - np.asarray(res_g.r)).max())
@@ -62,6 +72,7 @@ def main():
         emit(metric="tier3_nn_crossover", target_points=m,
              source_points=N_SRC,
              brute_wall_s=round(dt_b, 3), grid_wall_s=round(dt_g, 3),
+             grid_build_s=round(dt_build, 3),
              speedup=round(dt_b / max(dt_g, 1e-9), 2),
              max_abs_dR=round(dr, 7), max_abs_dt=round(dt_, 7),
              grid_unresolved_overflow=int(ovf))

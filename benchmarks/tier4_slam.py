@@ -69,8 +69,10 @@ def main():
          points_per_scan=N_PER_SCAN, wall_s=round(dt, 2),
          graph_cost=float(stats["graph_cost"]),
          ba_cost=float(stats["ba_cost"]))
-    assert ate_pg <= ate_odo * 1.05
-    assert ate_ba <= ate_pg * 1.05
+    # 1e-3 absolute floor: at near-zero drift the stages differ only by
+    # estimation noise (landmark centroids carry ~sigma/sqrt(n) error)
+    assert ate_pg <= max(ate_odo * 1.05, ate_odo + 1e-3)
+    assert ate_ba <= max(ate_pg * 1.05, ate_pg + 1e-3)
 
 
 if __name__ == "__main__":

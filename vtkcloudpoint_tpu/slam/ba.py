@@ -107,6 +107,26 @@ def _apply_update(rots, trans, dx):
     return rots, trans + dt
 
 
+def _solve_spd(h, g):
+    """f32-robust SPD solve: Jacobi equilibration + one iterative
+    refinement step.
+
+    The gauge prior (1e6) against O(1) edge rows gives H a condition
+    number ~1e6 -- at f32's 1e-7 epsilon a raw solve loses most of its
+    digits, and on TPU that made the pose-graph stage WORSE than raw
+    odometry (tier4, round 3). D^-1/2 H D^-1/2 drops the spread to the
+    graph's intrinsic conditioning, and one refinement pass recovers the
+    residual error. x64 CPU runs are unaffected (exact either way).
+    """
+    d = jnp.sqrt(jnp.maximum(jnp.diagonal(h), 1e-20))
+    hs = h / (d[:, None] * d[None, :])
+    gs = g / d
+    x = jnp.linalg.solve(hs, gs)
+    r = gs - hs @ x
+    x = x + jnp.linalg.solve(hs, r)
+    return x / d
+
+
 @partial(jax.jit, static_argnames=("iterations",))
 def optimize_pose_graph_sparse(
     rot0,
@@ -130,7 +150,7 @@ def optimize_pose_graph_sparse(
         h, g = assemble_normal_eqs(res, ji, jj, graph.edge_i, graph.edge_j, s)
         h = h.at[:6, :6].add(GAUGE_WEIGHT * jnp.eye(6, dtype=dtype))
         h = h + damping * jnp.eye(6 * s, dtype=dtype)
-        dx = -jnp.linalg.solve(h, g)
+        dx = -_solve_spd(h, g)
         rots, trans = _apply_update(rots, trans, dx)
         return (rots, trans), jnp.sum(res * res)
 
@@ -186,7 +206,7 @@ def optimize_pose_graph_sharded(
             cost = jax.lax.psum(cost_loc, axis)
             h = h.at[:6, :6].add(GAUGE_WEIGHT * jnp.eye(6, dtype=dtype))
             h = h + damping * jnp.eye(6 * s, dtype=dtype)
-            dx = -jnp.linalg.solve(h, g)
+            dx = -_solve_spd(h, g)
             rots, trans = _apply_update(rots, trans, dx)
             return (rots, trans), cost
 
@@ -291,7 +311,7 @@ def ba_schur_step(rots, trans, lms, obs: Observations, damping: float,
     hred = hred.at[:6, :6].add(GAUGE_WEIGHT * jnp.eye(6, dtype=dtype))
     hred = hred + damping * jnp.eye(6 * s, dtype=dtype)
     gred = (gp - jnp.einsum("slac,lc->sa", w_mat, gl)).reshape(6 * s)
-    dxp = -jnp.linalg.solve(hred, gred)
+    dxp = -_solve_spd(hred, gred)
 
     # landmark back-substitution: dxl = -Hll^-1 (gl + Hlp dxp)
     dxp6 = dxp.reshape(s, 6)
