@@ -613,7 +613,8 @@ def sharded_icp_grid(
             sw = jnp.sum(w)
             sp = jnp.sum(p * w[:, None], 0)
             sy = jnp.sum(y * w[:, None], 0)
-            spy = (p * w[:, None]).T @ y
+            spy = jnp.matmul((p * w[:, None]).T, y,
+                             precision=jax.lax.Precision.HIGHEST)
             sd = jnp.sum(jnp.where(w > 0, d2, 0.0))
             tot = jax.lax.psum(
                 jnp.concatenate(
@@ -694,7 +695,10 @@ def sharded_icp(
             sw = jnp.sum(w_loc)
             sp = jnp.sum(p * w_loc[:, None], 0)
             sy = jnp.sum(y * w_loc[:, None], 0)
-            spy = (p * w_loc[:, None]).T @ y
+            # HIGHEST: the TPU default bf16-truncates matmul inputs, which
+            # corrupts the Horn moments (se3.py note)
+            spy = jnp.matmul((p * w_loc[:, None]).T, y,
+                             precision=jax.lax.Precision.HIGHEST)
             sd = jnp.sum(jnp.where(sv_loc, d2, 0.0))
             tot = jax.lax.psum(
                 jnp.concatenate(

@@ -99,7 +99,7 @@ def icp(
             mean_t = jnp.sum(target * w_tgt[:, None], 0) / jnp.maximum(
                 jnp.sum(w_tgt), 1.0
             )
-            t0 = mean_t - r0 @ mean_s
+            t0 = mean_t - jnp.matmul(r0, mean_s, precision=jax.lax.Precision.HIGHEST)
         else:
             t0 = jnp.zeros(3, dtype=dtype)
 
@@ -165,7 +165,7 @@ def ransac_init(
             s2[1] - s1[1], s2[0] - s1[0]
         )
         r = se3.rotz(ang).astype(dtype)
-        t = t1 - r @ s1
+        t = t1 - jnp.matmul(r, s1, precision=jax.lax.Precision.HIGHEST)
         # length congruence gate: mismatched pair lengths score 0
         len_ok = jnp.abs(
             jnp.linalg.norm(s2 - s1) - jnp.linalg.norm(t2 - t1)

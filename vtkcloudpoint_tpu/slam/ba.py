@@ -38,14 +38,18 @@ GAUGE_WEIGHT = 1e6  # prior stiffness pinning pose 0 (matches posegraph 1e3^2)
 
 
 def _edge_residual_local(dxi, dxj, ri, ti, rj, tj, rm, tm, w):
-    """Residual of one edge at local increments dxi/dxj in R^6 (w, t)."""
-    ri_new = ri @ se3.so3_exp(dxi[:3])
+    """Residual of one edge at local increments dxi/dxj in R^6 (w, t).
+
+    All matmuls at HIGHEST precision: the TPU default truncates to bf16,
+    and bf16 rotation chains put ~4e-3 garbage into every residual."""
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    ri_new = mm(ri, se3.so3_exp(dxi[:3]))
     ti_new = ti + dxi[3:]
-    rj_new = rj @ se3.so3_exp(dxj[:3])
+    rj_new = mm(rj, se3.so3_exp(dxj[:3]))
     tj_new = tj + dxj[3:]
-    r_rel = ri_new.T @ rj_new
-    t_rel = ri_new.T @ (tj_new - ti_new)
-    e_rot = se3.so3_log(rm.T @ r_rel)
+    r_rel = mm(ri_new.T, rj_new)
+    t_rel = mm(ri_new.T, (tj_new - ti_new))
+    e_rot = se3.so3_log(mm(rm.T, r_rel))
     e_t = t_rel - tm
     return jnp.sqrt(w) * jnp.concatenate([e_rot, e_t])
 
@@ -81,11 +85,11 @@ def assemble_normal_eqs(res, ji, jj, edge_i, edge_j, s: int):
     [6E x 6S] Jacobian.
     """
     dtype = res.dtype
-    hii = jnp.einsum("eab,eac->ebc", ji, ji)      # [E,6,6]
-    hjj = jnp.einsum("eab,eac->ebc", jj, jj)
-    hij = jnp.einsum("eab,eac->ebc", ji, jj)
-    gi = jnp.einsum("eab,ea->eb", ji, res)
-    gj = jnp.einsum("eab,ea->eb", jj, res)
+    hii = jnp.einsum("eab,eac->ebc", ji, ji, precision=jax.lax.Precision.HIGHEST)      # [E,6,6]
+    hjj = jnp.einsum("eab,eac->ebc", jj, jj, precision=jax.lax.Precision.HIGHEST)
+    hij = jnp.einsum("eab,eac->ebc", ji, jj, precision=jax.lax.Precision.HIGHEST)
+    gi = jnp.einsum("eab,ea->eb", ji, res, precision=jax.lax.Precision.HIGHEST)
+    gj = jnp.einsum("eab,ea->eb", jj, res, precision=jax.lax.Precision.HIGHEST)
 
     diag = (jax.ops.segment_sum(hii, edge_i, num_segments=s)
             + jax.ops.segment_sum(hjj, edge_j, num_segments=s))  # [S,6,6]
@@ -103,7 +107,7 @@ def _apply_update(rots, trans, dx):
     s = rots.shape[0]
     dw = dx[: 6 * s].reshape(s, 6)[:, :3]
     dt = dx[: 6 * s].reshape(s, 6)[:, 3:]
-    rots = jnp.einsum("sab,sbc->sac", rots, jax.vmap(se3.so3_exp)(dw))
+    rots = jnp.einsum("sab,sbc->sac", rots, jax.vmap(se3.so3_exp)(dw), precision=jax.lax.Precision.HIGHEST)
     return rots, trans + dt
 
 
@@ -247,7 +251,7 @@ def _obs_blocks(rots, trans, lms, obs: Observations):
     """
     def one(p, l, z, w):
         r_s, t_s, m = rots[p], trans[p], lms[l]
-        local = r_s.T @ (m - t_s)
+        local = jnp.matmul(r_s.T, (m - t_s), precision=jax.lax.Precision.HIGHEST)
         res = jnp.sqrt(w) * (local - z)
         # right-perturbation: d/dw [exp(-w)^ R^T (m - t)] = [R^T(m-t)]_x
         jw = se3.so3_hat(local)
@@ -272,20 +276,20 @@ def ba_schur_step(rots, trans, lms, obs: Observations, damping: float,
     res, jp, jl = _obs_blocks(rots, trans, lms, obs)
 
     # pose system moments
-    hpp_blk = jnp.einsum("oab,oac->obc", jp, jp)                # [O,6,6]
-    gp_blk = jnp.einsum("oab,oa->ob", jp, res)
+    hpp_blk = jnp.einsum("oab,oac->obc", jp, jp, precision=jax.lax.Precision.HIGHEST)                # [O,6,6]
+    gp_blk = jnp.einsum("oab,oa->ob", jp, res, precision=jax.lax.Precision.HIGHEST)
     hpp_d = jax.ops.segment_sum(hpp_blk, obs.pose, num_segments=s)
     gp = jax.ops.segment_sum(gp_blk, obs.pose, num_segments=s)
 
     # landmark system (3x3 block diagonal)
-    hll_blk = jnp.einsum("oab,oac->obc", jl, jl)
-    gl_blk = jnp.einsum("oab,oa->ob", jl, res)
+    hll_blk = jnp.einsum("oab,oac->obc", jl, jl, precision=jax.lax.Precision.HIGHEST)
+    gl_blk = jnp.einsum("oab,oa->ob", jl, res, precision=jax.lax.Precision.HIGHEST)
     hll = jax.ops.segment_sum(hll_blk, obs.lm, num_segments=nl)  # [L,3,3]
     gl = jax.ops.segment_sum(gl_blk, obs.lm, num_segments=nl)    # [L,3]
 
     # cross term H_pl as [S,6,L,3] dense moments (S, L small at tier scale)
     key = obs.pose * nl + obs.lm
-    hpl_blk = jnp.einsum("oab,oac->obc", jp, jl)                 # [O,6,3]
+    hpl_blk = jnp.einsum("oab,oac->obc", jp, jl, precision=jax.lax.Precision.HIGHEST)                 # [O,6,3]
     hpl = jax.ops.segment_sum(
         hpl_blk, key, num_segments=s * nl
     ).reshape(s, nl, 6, 3)
@@ -303,20 +307,21 @@ def ba_schur_step(rots, trans, lms, obs: Observations, damping: float,
     hll_inv = jnp.linalg.inv(hll)                                # [L,3,3]
 
     # reduced camera system: Hred dxp = -(gp - Hpl Hll^-1 gl)
-    w_mat = jnp.einsum("slab,lbc->slac", hpl, hll_inv)           # [S,L,6,3]
-    schur = jnp.einsum("slac,tlbc->satb", w_mat, hpl)            # [S,6,S,6]
+    w_mat = jnp.einsum("slab,lbc->slac", hpl, hll_inv, precision=jax.lax.Precision.HIGHEST)           # [S,L,6,3]
+    schur = jnp.einsum("slac,tlbc->satb", w_mat, hpl, precision=jax.lax.Precision.HIGHEST)            # [S,6,S,6]
     hred = -schur
     hred = hred.at[jnp.arange(s), :, jnp.arange(s), :].add(hpp_d)
     hred = hred.reshape(6 * s, 6 * s)
     hred = hred.at[:6, :6].add(GAUGE_WEIGHT * jnp.eye(6, dtype=dtype))
     hred = hred + damping * jnp.eye(6 * s, dtype=dtype)
-    gred = (gp - jnp.einsum("slac,lc->sa", w_mat, gl)).reshape(6 * s)
+    gred = (gp - jnp.einsum("slac,lc->sa", w_mat, gl, precision=jax.lax.Precision.HIGHEST)).reshape(6 * s)
     dxp = -_solve_spd(hred, gred)
 
     # landmark back-substitution: dxl = -Hll^-1 (gl + Hlp dxp)
     dxp6 = dxp.reshape(s, 6)
-    hlp_dxp = jnp.einsum("slab,sa->lb", hpl, dxp6)               # [L,3]
-    dxl = -jnp.einsum("lab,lb->la", hll_inv, gl + hlp_dxp)
+    hlp_dxp = jnp.einsum("slab,sa->lb", hpl, dxp6, precision=jax.lax.Precision.HIGHEST)               # [L,3]
+    dxl = -jnp.einsum("lab,lb->la", hll_inv, gl + hlp_dxp,
+                      precision=jax.lax.Precision.HIGHEST)
 
     rots, trans = _apply_update(rots, trans, dxp)
     lms = lms + dxl
@@ -429,7 +434,7 @@ def observations_from_scans(scans, scan_valid, traj_r, traj_t,
     cents, cval = jax.lax.map(one_scan, (scans, scan_valid))  # [S,K+1,..]
     cents = cents[:, 1:, :]                  # drop noise row -> [S,K,3]
     cval = cval[:, 1:]
-    world = jnp.einsum("sab,skb->ska", traj_r, cents) + traj_t[:, None, :]
+    world = jnp.einsum("sab,skb->ska", traj_r, cents, precision=jax.lax.Precision.HIGHEST) + traj_t[:, None, :]
 
     flat_w = world.reshape(s * k, 3)
     flat_z = cents.reshape(s * k, 3)

@@ -39,11 +39,13 @@ def _residuals(rots, trans, graph: PoseGraph):
     """Edge residuals for absolute poses (rots [S,3,3], trans [S,3])."""
 
     def edge_res(i, j, rm, tm, w):
+        mm = lambda a, b: jnp.matmul(a, b,
+                                     precision=jax.lax.Precision.HIGHEST)
         ri = rots[i]
         rj = rots[j]
-        r_rel = ri.T @ rj
-        t_rel = ri.T @ (trans[j] - trans[i])
-        e_rot = se3.so3_log(rm.T @ r_rel)
+        r_rel = mm(ri.T, rj)
+        t_rel = mm(ri.T, (trans[j] - trans[i]))
+        e_rot = se3.so3_log(mm(rm.T, r_rel))
         e_t = t_rel - tm
         return jnp.sqrt(w) * jnp.concatenate([e_rot, e_t])
 

@@ -48,9 +48,9 @@ def odometry_chain(scans, scan_valid, cfg: ICPConfig = ICPConfig()):
     def compose(carry, rel):
         rw, tw = carry
         rr, tr = rel
-        # world_from_next = world_from_prev o prev_from_next
-        rn = rw @ rr
-        tn = rw @ tr + tw
+        # world_from_next = world_from_prev o prev_from_next (se3.compose:
+        # HIGHEST-precision matmuls -- TPU default bf16 compounds across S)
+        rn, tn = se3.compose(rw, tw, rr, tr)
         return (rn, tn), (rn, tn)
 
     dt = scans.dtype
@@ -105,8 +105,9 @@ def closure_edges(scans, scan_valid, traj: Trajectory, li, lj,
         ti = traj.t[i]
         rj = traj.r[j]
         tj = traj.t[j]
-        r0 = ri.T @ rj
-        t0 = ri.T @ (tj - ti)
+        r0 = jnp.matmul(ri.T, rj, precision=jax.lax.Precision.HIGHEST)
+        t0 = jnp.matmul(ri.T, (tj - ti),
+                        precision=jax.lax.Precision.HIGHEST)
         res = icp(scans[j], scan_valid[j], scans[i], scan_valid[i], cfg,
                   r0=r0, t0=t0)
         return res.r, res.t
@@ -230,8 +231,7 @@ def slam_pipeline_checkpointed(scans, scan_valid, ckpt_dir: str,
     def compose(carry, rel):
         rw, tw = carry
         rr, tr = rel
-        rn = rw @ rr
-        tn = rw @ tr + tw
+        rn, tn = se3.compose(rw, tw, rr, tr)
         return (rn, tn), (rn, tn)
 
     dt = scans.dtype
