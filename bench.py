@@ -242,26 +242,35 @@ def tpu_pipeline():
         return times
 
     def run_sync(fn):
+        # ONE host transfer as the barrier. Every np.asarray/int() on a
+        # device scalar is a separate ~25 ms tunnel round trip -- fetching
+        # (n_clusters, err, iters) inside the timed loop inflated the wall
+        # by ~80 ms/rep (2x!); callers fetch results once, outside timing.
         out = fn(*args)
         _ = np.asarray(out[0][:16])        # host transfer = real barrier
-        return int(out[1]), float(out[6]), int(out[7])
+        return out
 
     results = {}
     backends = ["jnp"]
     if resolve_backend("auto") == "pallas":
         backends.append("pallas")
+    forced = os.environ.get("BENCH_BACKENDS")
+    if forced:
+        backends = [b for b in backends if b in forced.split(",")]
     if os.environ.get("BENCH_STAGES", "1") == "1":
         for backend in backends:
             stage_times(backend)
     for backend in backends:
         fn = make_step(backend)
-        n_clusters, err, icp_iters = run_sync(fn)   # warmup/compile
+        run_sync(fn)                                # warmup/compile
         times = []
+        out = None
         for _ in range(3):
             t0 = time.perf_counter()
-            n_clusters, err, icp_iters = run_sync(fn)
+            out = run_sync(fn)
             times.append(time.perf_counter() - t0)
         dt = min(times)
+        n_clusters, err, icp_iters = int(out[1]), float(out[6]), int(out[7])
         # analytic roofline: adjacency distance work (the iritatorNum
         # analog) at ~6 VPU flops per L1-2D pair + the ICP NN bipartite
         evals = dbscan_distance_evals(max_blocks, BLOCK_CAP)

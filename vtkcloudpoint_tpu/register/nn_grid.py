@@ -88,20 +88,30 @@ def _brute_direct(query, ref, ref_valid, chunk: int):
     """Exact NN by direct differences, tiled over query chunks.
 
     Returns (idx i32[N], d2 f[N]). Used as the grid fallback; accurate to
-    f32 rounding of the true distance (no expansion cancellation)."""
-    n = query.shape[0]
+    f32 rounding of the true distance (no expansion cancellation).
+
+    The working set is capped at ~256 MB regardless of the requested
+    chunk: the naive [chunk, M, 3] diff tensor is 12 GB at chunk=1024 and
+    M=1M -- an HBM-exhausting allocation that killed the TPU worker. The
+    per-axis accumulation keeps peak memory at one [chunk, M] block.
+    """
+    n, d = query.shape
+    m = ref.shape[0]
+    chunk = max(8, min(chunk, max(8, (1 << 26) // max(m, 1))))
     pad = (-n) % chunk
     qp = jnp.pad(query, ((0, pad), (0, 0)))
 
     def one(q):
-        diff = q[:, None, :] - ref[None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)
+        d2 = jnp.zeros((q.shape[0], m), ref.dtype)
+        for k in range(d):
+            diff = q[:, k:k + 1] - ref[None, :, k]
+            d2 = d2 + diff * diff
         d2 = jnp.where(ref_valid[None, :], d2, jnp.inf)
         idx = jnp.argmin(d2, axis=1)
         return (idx.astype(jnp.int32),
                 jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0])
 
-    idx, d2 = jax.lax.map(one, qp.reshape(-1, chunk, query.shape[1]))
+    idx, d2 = jax.lax.map(one, qp.reshape(-1, chunk, d))
     return idx.reshape(-1)[:n], d2.reshape(-1)[:n]
 
 
