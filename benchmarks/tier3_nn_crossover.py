@@ -50,7 +50,7 @@ def main():
         # tile size bounded so the [chunk, m] distance block stays well
         # under HBM (a 4096 x 1M f32 tile is 16 GB -- a worker-killing
         # allocation on a 16 GB chip)
-        bchunk = max(128, min(4096, (1 << 29) // max(m, 1)))
+        bchunk = max(128, min(4096, (1 << 28) // max(m, 1)))
         res_b, dt_b = timed(lambda: icp(sj, sv, tj, tv, cfg, chunk=bchunk),
                             lambda o: o.r)
         # cell sized to ~10 pts/cell for the slab geometry; the build

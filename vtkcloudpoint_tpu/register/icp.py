@@ -50,7 +50,13 @@ def nn_correspond(query, ref, ref_valid, chunk: int = 2048,
     from ..cluster.dbscan import resolve_backend
 
     n = query.shape[0]
-    if resolve_backend(backend) == "pallas":
+    m = ref.shape[0]
+    # the Pallas running-argmin kernel serves the common sizes; past ~512k
+    # references its (n/tile_q) x (m/tile_r) grid walks into Mosaic
+    # grid-step territory that faulted the worker at 100k x 1M, and the
+    # jnp expansion path is the better engine there anyway (the 2ab term
+    # rides the MXU systolic array)
+    if resolve_backend(backend) == "pallas" and m <= (1 << 19):
         from ..ops.pallas.neighbor import nn_pallas
 
         idx, d2 = nn_pallas(query, ref, ref_valid)
