@@ -56,6 +56,19 @@ def main():
         # cell sized to ~10 pts/cell for the slab geometry; the build
         # (device argsort of m keys) is timed separately -- on TPU it
         # dominates the locator's wall (199 s at 1M on v5e)
+        grid_max = int(os.environ.get("BENCH_NN_GRID_MAX", 200_000))
+        if m > grid_max:
+            # an on-chip grid-ICP at this scale is one XLA program with a
+            # multi-hundred-second wall (20 iters x ~36 s/query sweep at
+            # 1M) -- past the tunnel worker's watchdog; the sharded / CPU
+            # paths own this regime (parallel.sharded.sharded_icp_grid)
+            emit(metric="tier3_nn_crossover", target_points=m,
+                 source_points=N_SRC, brute_wall_s=round(dt_b, 3),
+                 grid_wall_s=None,
+                 note=("grid skipped on-chip beyond BENCH_NN_GRID_MAX="
+                       f"{grid_max}: single-program wall exceeds the "
+                       "worker watchdog; brute (MXU) owns this size"))
+            continue
         cell = max(0.25, (10.0 * (50.0 * 50.0 * 5.0) / m) ** (1.0 / 3.0))
         from vtkcloudpoint_tpu.register.nn_grid import build_nn_grid
 

@@ -30,7 +30,7 @@ from ..ops.metrics import pairwise
 def halo_buffers(block_coords, block_valid, block_labels, block_core,
                  eps: float, halo_cap: int, shell_eps: float = None,
                  block_id_offset: int | jax.Array = 0, axis: str = None,
-                 cell_table_bits: int = 20):
+                 cell_table_bits: int = 24):
     """Pack core boundary points into [B*halo_cap] buffers.
 
     Boundary test: a point is in the halo iff some cell of its 3^D stencil
@@ -42,8 +42,12 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     equal-count blocks can span two distant regions, leaving truly adjacent
     points in the bbox INTERIOR -- cross-block merges were silently missed
     (caught by tests/test_engine.py::test_engine_cluster_sharded...).
-    Hash collisions only ADD halo points (sound). ``shell_eps`` >= eps
-    guarantees every cross-block eps-pair is captured
+    Hash collisions only ADD halo points (sound) -- but the table must
+    stay sparsely loaded or false positives flood the downstream buffers:
+    a 10M-point run occupies ~1M distinct eps-cells, and a 2^20 table at
+    60% load marked HALF the cloud as boundary. 2^24 (64 MB i32) keeps
+    load < 10% beyond 10^8 points; size cell_table_bits up with the map.
+    ``shell_eps`` >= eps guarantees every cross-block eps-pair is captured
     (ParallelConfig.halo_width_eps scales it). Defaults to eps.
 
     ``block_id_offset`` makes block ids globally unique across devices and

@@ -139,7 +139,7 @@ def _ring_union(hx, hlab, hval, n_used, eps: float, metric: str,
 def _hier_union(hx, hlab, hval, n_used, eps: float,
                 metric: str, max_ids: int, axis: str, ndev: int,
                 max_rounds: int, dev_halo_cap: int, cell_cap: int,
-                cell_table_bits: int = 20):
+                cell_table_bits: int = 24):
     """Two-level halo union: device-local grid-hash components, then a
     gathered union over ONLY the device-boundary skin.
 
