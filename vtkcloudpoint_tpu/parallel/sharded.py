@@ -291,6 +291,7 @@ def sharded_blocked_dbscan(
     fixpoint_max_rounds: int = None,  # None -> ParallelConfig default
     halo_width_eps: float = None,     # shell width multiple of eps
     dbscan_chunk: int = 64,          # per-device blocks in flight (jnp path)
+    cell_table_bits: int = 24,       # halo/skin occupancy-table size (2^bits)
 ):
     """Distributed blocked DBSCAN + fusion.
 
@@ -440,6 +441,7 @@ def sharded_blocked_dbscan(
                 # globally-unique block ids + mesh-reduced occupancy tables
                 # so the boundary test sees every other device's blocks
                 block_id_offset=dev * labels_loc.shape[0], axis=axis,
+                cell_table_bits=cell_table_bits,
             )
             halo_ovf = jax.lax.psum(hov, axis)
             if halo_mode == "gather":
@@ -465,6 +467,7 @@ def sharded_blocked_dbscan(
                     hx, hlab, hval, n_total, eps,
                     gmetric, max_ids, axis, ndev, fixpoint_max_rounds,
                     dev_halo_cap, halo_cell_cap,
+                    cell_table_bits=cell_table_bits,
                 )
                 halo_ovf = halo_ovf + hovf2
             else:
