@@ -38,6 +38,12 @@ import jax.numpy as jnp
 # two's-complement in XLA, and equal cell coords always hash equal, which is
 # all correctness needs
 _PRIMES = (-1640531535, -2048144789, -1028477387)  # 0x9E3779B1 etc. as i32
+# independent second multiplier set for two-hash (Bloom-AND) membership
+# tests: a cell only counts as occupied if BOTH hashed buckets are set, so
+# the false-positive rate is the table load SQUARED (halo/skin boundary
+# tests do 3^D lookups per point -- a single-hash table at 5% load turns
+# into ~37% per-point false positives and floods the skin buffers)
+_PRIMES2 = (-1898519407, -1376312589, -741103597)
 _MASK = jnp.int32(0x7FFFFFFE)  # keep ids in [0, 2^31-2]; INT_MAX = invalid
 
 

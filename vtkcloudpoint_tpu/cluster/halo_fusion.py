@@ -64,7 +64,7 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
 
     from itertools import product as _product
 
-    from .grid import _PRIMES
+    from .grid import _PRIMES, _PRIMES2
 
     def _wrap32(v):
         return ((v + 2**31) % 2**32) - 2**31
@@ -72,30 +72,41 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     H = 1 << cell_table_bits
     hmask = jnp.int32(H - 1)
     cidx = jnp.floor(block_coords / shell_eps).astype(jnp.int32)  # [B,cap,D]
-    raw = jnp.zeros((B, cap), jnp.int32)
-    for ax_ in range(d):
-        raw = raw + cidx[..., ax_] * jnp.int32(_PRIMES[ax_])
-    deltas = [
-        _wrap32(sum(int(o[ax_]) * _PRIMES[ax_] for ax_ in range(d)))
-        for o in _product((-1, 0, 1), repeat=d)
-    ]
     bid = (jnp.arange(B, dtype=jnp.int32)[:, None]
            + jnp.asarray(block_id_offset, jnp.int32))       # [B, 1]
     bid_full = jnp.broadcast_to(bid, (B, cap))
     occupied = block_valid
-    own_idx = raw & hmask
     imax = jnp.int32(2**31 - 1)
-    bmin = jnp.full(H, imax, jnp.int32).at[own_idx.reshape(-1)].min(
-        jnp.where(occupied, bid_full, imax).reshape(-1))
-    bmax = jnp.full(H, -1, jnp.int32).at[own_idx.reshape(-1)].max(
-        jnp.where(occupied, bid_full, -1).reshape(-1))
-    if axis is not None:
-        bmin = jax.lax.pmin(bmin, axis)
-        bmax = jax.lax.pmax(bmax, axis)
+
+    def block_tables(primes):
+        raw = jnp.zeros((B, cap), jnp.int32)
+        for ax_ in range(d):
+            raw = raw + cidx[..., ax_] * jnp.int32(primes[ax_])
+        deltas = [
+            _wrap32(sum(int(o[ax_]) * primes[ax_] for ax_ in range(d)))
+            for o in _product((-1, 0, 1), repeat=d)
+        ]
+        own_idx = raw & hmask
+        bmin = jnp.full(H, imax, jnp.int32).at[own_idx.reshape(-1)].min(
+            jnp.where(occupied, bid_full, imax).reshape(-1))
+        bmax = jnp.full(H, -1, jnp.int32).at[own_idx.reshape(-1)].max(
+            jnp.where(occupied, bid_full, -1).reshape(-1))
+        if axis is not None:
+            bmin = jax.lax.pmin(bmin, axis)
+            bmax = jax.lax.pmax(bmax, axis)
+        return raw, deltas, bmin, bmax
+
+    # two independent hashes AND-combined (Bloom k=2, see grid._PRIMES2):
+    # per-lookup false positives drop from table load to load^2
+    raw1, deltas1, bmin1, bmax1 = block_tables(_PRIMES)
+    raw2, deltas2, bmin2, bmax2 = block_tables(_PRIMES2)
     near_other = jnp.zeros((B, cap), bool)
-    for dl in deltas:
-        idx = (raw + jnp.int32(dl)) & hmask
-        near_other = near_other | (bmin[idx] < bid) | (bmax[idx] > bid)
+    for d1, d2 in zip(deltas1, deltas2):
+        i1 = (raw1 + jnp.int32(d1)) & hmask
+        i2 = (raw2 + jnp.int32(d2)) & hmask
+        hit1 = (bmin1[i1] < bid) | (bmax1[i1] > bid)
+        hit2 = (bmin2[i2] < bid) | (bmax2[i2] > bid)
+        near_other = near_other | (hit1 & hit2)
     is_halo = block_valid & near_other & block_core & (block_labels > 0)
 
     slot_key = jnp.where(is_halo, jnp.arange(cap)[None, :], cap)

@@ -217,34 +217,46 @@ def _hier_union(hx, hlab, hval, n_used, eps: float,
 
     # ---- stage 2: reduce to the device-boundary skin ----
     # global (origin-free) eps-cell coords: consistent across devices, so
-    # one psum'd occupancy table detects cross-device adjacency exactly
-    from ..cluster.grid import _PRIMES
+    # psum'd occupancy tables detect cross-device adjacency. TWO
+    # independent hashes, AND-combined (Bloom filter with k=2): the
+    # false-positive rate per stencil lookup is the table load SQUARED --
+    # a single-hash 2^24 table at 5% load (10M-point run) false-flagged
+    # ~37% of the halo per point across its 3^D lookups and overflowed
+    # the skin buffers by 3.7M points; squared it is ~0.06%.
+    from itertools import product as _product
+
+    from ..cluster.grid import _PRIMES, _PRIMES2
 
     D = hx.shape[1]
     H = 1 << cell_table_bits
+    hm = jnp.int32(H - 1)
     cidx = jnp.floor(hx / eps).astype(jnp.int32)      # [hn, D]
-    raw = jnp.zeros(hn, jnp.int32)
-    for ax in range(D):
-        raw = raw + cidx[:, ax] * jnp.int32(_PRIMES[ax])
-
-    from itertools import product as _product
 
     def _wrap32(v):
         return ((v + 2**31) % 2**32) - 2**31
 
-    deltas = [
-        _wrap32(sum(int(o[ax]) * _PRIMES[ax] for ax in range(D)))
-        for o in _product((-1, 0, 1), repeat=D)
-    ]
-    own_idx = raw & jnp.int32(H - 1)
-    own = jnp.zeros(H, jnp.int32).at[own_idx].max(
-        jnp.where(use, 1, 0), mode="drop"
-    )
-    total = jax.lax.psum(own, axis)
-    other_occ = (total - own) > 0                      # [H]
+    def occupancy(primes):
+        raw = jnp.zeros(hn, jnp.int32)
+        for ax in range(D):
+            raw = raw + cidx[:, ax] * jnp.int32(primes[ax])
+        deltas = [
+            _wrap32(sum(int(o[ax]) * primes[ax] for ax in range(D)))
+            for o in _product((-1, 0, 1), repeat=D)
+        ]
+        own = jnp.zeros(H, jnp.int32).at[raw & hm].max(
+            jnp.where(use, 1, 0), mode="drop"
+        )
+        total = jax.lax.psum(own, axis)
+        other_occ = (total - own) > 0                  # [H]
+        return raw, deltas, other_occ
+
+    raw1, deltas1, occ1 = occupancy(_PRIMES)
+    raw2, deltas2, occ2 = occupancy(_PRIMES2)
     near_any = jnp.zeros(hn, bool)
-    for d in deltas:
-        near_any = near_any | other_occ[(raw + jnp.int32(d)) & jnp.int32(H - 1)]
+    for d1, d2 in zip(deltas1, deltas2):
+        hit1 = occ1[(raw1 + jnp.int32(d1)) & hm]
+        hit2 = occ2[(raw2 + jnp.int32(d2)) & hm]
+        near_any = near_any | (hit1 & hit2)
     near = use & near_any
 
     slot = jnp.where(near, jnp.arange(hn, dtype=jnp.int32), hn)
