@@ -121,10 +121,12 @@ def tpu_pipeline():
             # 5x slower on TPU (measured 25.7 vs 4.8 ms at this shape)
             sh3 = cluster_shapes(
                 jnp.where(tvalid[..., None], xyz[..., :2][safe], 0.0),
-                tvalid, stats["count"], max_hull=MAX_HULL)
+                tvalid, stats["count"], max_hull=MAX_HULL,
+                chunk_k=MAX_CLUSTERS)
             sh2 = cluster_shapes(
                 jnp.where(tvalid[..., None], motor[safe], 0.0),
-                tvalid, stats["count"], max_hull=MAX_HULL)
+                tvalid, stats["count"], max_hull=MAX_HULL,
+                chunk_k=MAX_CLUSTERS)
             centers = stats["center3d"]
             cvalid = stats["count"] > 0
             res = icp(centers, cvalid, truth, truth_valid,
@@ -172,10 +174,10 @@ def tpu_pipeline():
             tvalid = table >= 0
             sh3 = cluster_shapes(
                 jnp.where(tvalid[..., None], x[..., :2][safe], 0.0),
-                tvalid, counts, max_hull=MAX_HULL)
+                tvalid, counts, max_hull=MAX_HULL, chunk_k=MAX_CLUSTERS)
             sh2 = cluster_shapes(
                 jnp.where(tvalid[..., None], m[safe], 0.0),
-                tvalid, counts, max_hull=MAX_HULL)
+                tvalid, counts, max_hull=MAX_HULL, chunk_k=MAX_CLUSTERS)
             return sh3["radius"], sh2["radius"]
 
         s_shapes = j(lambda t, c, x, m: shapes(t, c, x, m))
