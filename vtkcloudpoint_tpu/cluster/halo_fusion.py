@@ -27,6 +27,88 @@ import jax.numpy as jnp
 from ..ops.metrics import pairwise
 
 
+_IMAX = 2**31 - 1
+
+
+def _safe_id(r):
+    """Reserve INT_MAX as the invalid sentinel: remap a real hash landing
+    exactly there to INT_MAX-1 (a collision -- false-positive-only, sound).
+    Must be applied consistently to packed cells AND stencil queries."""
+    return jnp.where(r == jnp.int32(_IMAX), jnp.int32(_IMAX - 1), r)
+
+
+def pack_cells(raw1, raw2, use, cap: int):
+    """Distinct (by raw1) cell-hash pairs of the ``use`` points.
+
+    The cross-device boundary filter exchanges each device's occupied-cell
+    LIST instead of all-reducing [2^bits] occupancy tables: the collective
+    payload becomes O(distinct cells) -- a few MB at 10M points -- where
+    the table psum/pmin was 64+ MB per hash and tripped the XLA CPU
+    rendezvous watchdog on oversubscribed validation hosts (and would
+    waste ICI on real pods).
+
+    Returns (cells [cap, 2] i32, sel bool[cap], dropped i32) where dropped
+    counts distinct cells beyond ``cap`` -- a nonzero value means possible
+    MISSED boundary points, so callers add it to the halo overflow.
+    """
+    n = raw1.shape[0]
+    key = jnp.where(use, _safe_id(raw1), jnp.int32(_IMAX))
+    order0 = jnp.argsort(key)
+    s1 = key[order0]
+    s2 = raw2[order0]
+    first = jnp.concatenate(
+        [s1[:1] < _IMAX, (s1[1:] != s1[:-1]) & (s1[1:] < _IMAX)]
+    )
+    slot = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
+    order = jnp.argsort(slot)[:cap]
+    sel = slot[order] < n
+    cells = jnp.stack(
+        [jnp.where(sel, s1[order], _IMAX), jnp.where(sel, s2[order], 0)],
+        axis=-1,
+    )
+    dropped = jnp.sum(first, dtype=jnp.int32) - jnp.sum(sel, dtype=jnp.int32)
+    return cells, sel, dropped
+
+
+def foreign_cell_filter(raw1, raw2, deltas1, deltas2, cells, cells_sel,
+                        bits: int):
+    """bool[n]: some 3^D stencil cell of each point appears in the foreign
+    cell list (two-hash AND lookup; false positives only)."""
+    H = 1 << bits
+    hm = jnp.int32(H - 1)
+    idx1 = jnp.where(cells_sel, _safe_id(cells[..., 0]) & hm, H)
+    idx2 = jnp.where(cells_sel, cells[..., 1] & hm, H)
+    t1 = jnp.zeros(H, bool).at[idx1.reshape(-1)].set(True, mode="drop")
+    t2 = jnp.zeros(H, bool).at[idx2.reshape(-1)].set(True, mode="drop")
+    near = jnp.zeros(raw1.shape, bool)
+    for d1, d2 in zip(deltas1, deltas2):
+        q1 = _safe_id(raw1 + jnp.int32(d1)) & hm
+        q2 = (raw2 + jnp.int32(d2)) & hm
+        near = near | (t1[q1] & t2[q2])
+    return near
+
+
+def cell_hashes(coords, shell_eps: float, primes):
+    """(raw i32[...], stencil deltas) for D-dim coords at shell_eps cells."""
+    from itertools import product as _product
+
+    from .grid import _PRIMES  # noqa: F401  (doc anchor)
+
+    def _wrap32(v):
+        return ((v + 2**31) % 2**32) - 2**31
+
+    d = coords.shape[-1]
+    cidx = jnp.floor(coords / shell_eps).astype(jnp.int32)
+    raw = jnp.zeros(coords.shape[:-1], jnp.int32)
+    for ax_ in range(d):
+        raw = raw + cidx[..., ax_] * jnp.int32(primes[ax_])
+    deltas = [
+        _wrap32(sum(int(o[ax_]) * primes[ax_] for ax_ in range(d)))
+        for o in _product((-1, 0, 1), repeat=d)
+    ]
+    return raw, deltas
+
+
 def halo_buffers(block_coords, block_valid, block_labels, block_core,
                  eps: float, halo_cap: int, shell_eps: float = None,
                  block_id_offset: int | jax.Array = 0, axis: str = None,
@@ -62,44 +144,32 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     halo_cap = min(halo_cap, cap)
     big = jnp.asarray(1e30, block_coords.dtype)
 
-    from itertools import product as _product
-
     from .grid import _PRIMES, _PRIMES2
-
-    def _wrap32(v):
-        return ((v + 2**31) % 2**32) - 2**31
 
     H = 1 << cell_table_bits
     hmask = jnp.int32(H - 1)
-    cidx = jnp.floor(block_coords / shell_eps).astype(jnp.int32)  # [B,cap,D]
     bid = (jnp.arange(B, dtype=jnp.int32)[:, None]
            + jnp.asarray(block_id_offset, jnp.int32))       # [B, 1]
     bid_full = jnp.broadcast_to(bid, (B, cap))
     occupied = block_valid
-    imax = jnp.int32(2**31 - 1)
+    imax = jnp.int32(_IMAX)
 
-    def block_tables(primes):
-        raw = jnp.zeros((B, cap), jnp.int32)
-        for ax_ in range(d):
-            raw = raw + cidx[..., ax_] * jnp.int32(primes[ax_])
-        deltas = [
-            _wrap32(sum(int(o[ax_]) * primes[ax_] for ax_ in range(d)))
-            for o in _product((-1, 0, 1), repeat=d)
-        ]
+    raw1, deltas1 = cell_hashes(block_coords, shell_eps, _PRIMES)
+    raw2, deltas2 = cell_hashes(block_coords, shell_eps, _PRIMES2)
+
+    # LOCAL block-adjacency tables (two independent hashes AND-combined --
+    # Bloom k=2, see grid._PRIMES2: per-lookup false positives drop from
+    # table load to load^2). These never cross the mesh.
+    def block_tables(raw):
         own_idx = raw & hmask
         bmin = jnp.full(H, imax, jnp.int32).at[own_idx.reshape(-1)].min(
             jnp.where(occupied, bid_full, imax).reshape(-1))
         bmax = jnp.full(H, -1, jnp.int32).at[own_idx.reshape(-1)].max(
             jnp.where(occupied, bid_full, -1).reshape(-1))
-        if axis is not None:
-            bmin = jax.lax.pmin(bmin, axis)
-            bmax = jax.lax.pmax(bmax, axis)
-        return raw, deltas, bmin, bmax
+        return bmin, bmax
 
-    # two independent hashes AND-combined (Bloom k=2, see grid._PRIMES2):
-    # per-lookup false positives drop from table load to load^2
-    raw1, deltas1, bmin1, bmax1 = block_tables(_PRIMES)
-    raw2, deltas2, bmin2, bmax2 = block_tables(_PRIMES2)
+    bmin1, bmax1 = block_tables(raw1)
+    bmin2, bmax2 = block_tables(raw2)
     near_other = jnp.zeros((B, cap), bool)
     for d1, d2 in zip(deltas1, deltas2):
         i1 = (raw1 + jnp.int32(d1)) & hmask
@@ -107,6 +177,31 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
         hit1 = (bmin1[i1] < bid) | (bmax1[i1] > bid)
         hit2 = (bmin2[i2] < bid) | (bmax2[i2] > bid)
         near_other = near_other | (hit1 & hit2)
+
+    cell_dropped = jnp.int32(0)
+    if axis is not None:
+        # cross-DEVICE adjacency via gathered distinct-cell lists: the
+        # collective payload is O(occupied cells), not O(table) -- all-
+        # reducing the [2^bits] tables (4 x 64 MB) tripped the XLA CPU
+        # rendezvous watchdog and would waste ICI on real pods
+        dev = jax.lax.axis_index(axis)
+        npts = B * cap
+        list_cap = max(4096, npts // 4)
+        cells, sel, cell_dropped = pack_cells(
+            raw1.reshape(-1), raw2.reshape(-1), occupied.reshape(-1),
+            list_cap)
+        gcells = jax.lax.all_gather(cells, axis)        # [ndev, cap, 2]
+        gsel = jax.lax.all_gather(sel, axis)
+        # own-row mask via a gathered device marker (axis size stays
+        # implicit in the gathered shape -- no static ndev needed here)
+        gdev = jax.lax.all_gather(dev, axis)            # [ndev]
+        other = gdev != dev
+        cross = foreign_cell_filter(
+            raw1.reshape(-1), raw2.reshape(-1), deltas1, deltas2,
+            gcells.reshape(-1, 2), (gsel & other[:, None]).reshape(-1),
+            cell_table_bits,
+        ).reshape(B, cap)
+        near_other = near_other | cross
     is_halo = block_valid & near_other & block_core & (block_labels > 0)
 
     slot_key = jnp.where(is_halo, jnp.arange(cap)[None, :], cap)
@@ -125,7 +220,9 @@ def halo_buffers(block_coords, block_valid, block_labels, block_core,
     overflow = jnp.sum(
         jnp.maximum(jnp.sum(is_halo.astype(jnp.int32), axis=1) - halo_cap, 0)
     )
-    return hx, hlab, hvalid, overflow
+    # dropped distinct cells from the packed list could hide cross-device
+    # boundary points -> exactness requires the counter to surface them
+    return hx, hlab, hvalid, overflow + cell_dropped
 
 
 def union_ids(hx, hlab, hvalid, n_used, eps: float, metric: str,

@@ -216,48 +216,32 @@ def _hier_union(hx, hlab, hval, n_used, eps: float,
     )
 
     # ---- stage 2: reduce to the device-boundary skin ----
-    # global (origin-free) eps-cell coords: consistent across devices, so
-    # psum'd occupancy tables detect cross-device adjacency. TWO
-    # independent hashes, AND-combined (Bloom filter with k=2): the
-    # false-positive rate per stencil lookup is the table load SQUARED --
-    # a single-hash 2^24 table at 5% load (10M-point run) false-flagged
-    # ~37% of the halo per point across its 3^D lookups and overflowed
-    # the skin buffers by 3.7M points; squared it is ~0.06%.
-    from itertools import product as _product
-
+    # global (origin-free) eps-cell coords are consistent across devices;
+    # each device packs its DISTINCT occupied halo cells and one
+    # all_gather (O(cells), a few MB at 10M points) feeds a local
+    # two-hash (Bloom k=2) membership filter: zero false negatives,
+    # false positives at load^2 per stencil lookup. History: a psum'd
+    # single-hash table false-flagged ~37% of the halo (5.7M overflow at
+    # 10M), and psum'ing 64 MB tables tripped the XLA CPU rendezvous
+    # watchdog -- the gathered-list form fixes both.
     from ..cluster.grid import _PRIMES, _PRIMES2
+    from ..cluster.halo_fusion import (
+        cell_hashes, foreign_cell_filter, pack_cells,
+    )
 
-    D = hx.shape[1]
-    H = 1 << cell_table_bits
-    hm = jnp.int32(H - 1)
-    cidx = jnp.floor(hx / eps).astype(jnp.int32)      # [hn, D]
-
-    def _wrap32(v):
-        return ((v + 2**31) % 2**32) - 2**31
-
-    def occupancy(primes):
-        raw = jnp.zeros(hn, jnp.int32)
-        for ax in range(D):
-            raw = raw + cidx[:, ax] * jnp.int32(primes[ax])
-        deltas = [
-            _wrap32(sum(int(o[ax]) * primes[ax] for ax in range(D)))
-            for o in _product((-1, 0, 1), repeat=D)
-        ]
-        own = jnp.zeros(H, jnp.int32).at[raw & hm].max(
-            jnp.where(use, 1, 0), mode="drop"
-        )
-        total = jax.lax.psum(own, axis)
-        other_occ = (total - own) > 0                  # [H]
-        return raw, deltas, other_occ
-
-    raw1, deltas1, occ1 = occupancy(_PRIMES)
-    raw2, deltas2, occ2 = occupancy(_PRIMES2)
-    near_any = jnp.zeros(hn, bool)
-    for d1, d2 in zip(deltas1, deltas2):
-        hit1 = occ1[(raw1 + jnp.int32(d1)) & hm]
-        hit2 = occ2[(raw2 + jnp.int32(d2)) & hm]
-        near_any = near_any | (hit1 & hit2)
-    near = use & near_any
+    raw1, deltas1 = cell_hashes(hx, eps, _PRIMES)
+    raw2, deltas2 = cell_hashes(hx, eps, _PRIMES2)
+    dev = jax.lax.axis_index(axis)
+    list_cap = max(4096, hn // 4)
+    cells, cells_sel, cell_dropped = pack_cells(raw1, raw2, use, list_cap)
+    gcells = jax.lax.all_gather(cells, axis)
+    gcsel = jax.lax.all_gather(cells_sel, axis)
+    other = jnp.arange(ndev) != dev
+    near = use & foreign_cell_filter(
+        raw1, raw2, deltas1, deltas2,
+        gcells.reshape(-1, 2), (gcsel & other[:, None]).reshape(-1),
+        cell_table_bits,
+    )
 
     slot = jnp.where(near, jnp.arange(hn, dtype=jnp.int32), hn)
     order = jnp.argsort(slot, stable=True)[:dev_halo_cap]
@@ -265,7 +249,9 @@ def _hier_union(hx, hlab, hval, n_used, eps: float,
     bx = jnp.where(sel[:, None], hx[order], jnp.asarray(1e30, hx.dtype))
     blab = jnp.where(sel, idm[la_idx[order]], 0)
     dev_ovf = jax.lax.psum(
-        jnp.sum(near, dtype=jnp.int32) - jnp.sum(sel, dtype=jnp.int32), axis
+        jnp.sum(near, dtype=jnp.int32) - jnp.sum(sel, dtype=jnp.int32)
+        # dropped distinct cells could hide cross-device boundary points
+        + cell_dropped, axis
     )
 
     # ---- stage 3: replicated grid union over the gathered skins ----
