@@ -56,6 +56,81 @@ def _block_label_counts(block_labels, block_valid, kmax: int):
         w, flat_seg, num_segments=B * kmax).reshape(B, kmax)
 
 
+def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
+    """CompleteWork3 cull + global-renumber rules from per-block label
+    counts [B, kmax] (kmax = cap + 1; column 0 = noise run).
+
+    Returns (keep [B, cap] bool, gid [B, cap] i32 -- the global id at each
+    kept (block, local-id) slot, n_kept i32). ONE implementation shared by
+    the single-device merge (merge_blocks) and the sharded path
+    (parallel.sharded.sharded_blocked_dbscan) so the quirk rules cannot
+    drift. Quirk semantics documented in the module docstring.
+    """
+    B, kmax = counts.shape
+    present = counts[:, 1:] > 0  # [B, cap] run exists for local id c=1..cap
+    n_run = counts[:, 1:]
+    if quirks:
+        has_noise = counts[:, 0] > 0
+        # last existing run per block: local id == max present id
+        max_id = jnp.max(
+            jnp.where(present, jnp.arange(1, kmax)[None, :], 0), axis=1
+        )
+        is_last = jnp.arange(1, kmax)[None, :] == max_id[:, None]
+        eff_len = jnp.where(
+            (jnp.arange(1, kmax)[None, :] == 1) & ~has_noise[:, None],
+            n_run + 1,
+            n_run,
+        )
+        keep = present & (is_last | (eff_len > min_cluster_size))
+    else:
+        keep = present & (n_run > min_cluster_size)
+
+    # global ids in (block, local id) lex order
+    gid = jnp.cumsum(keep.reshape(-1).astype(jnp.int32)).reshape(B, kmax - 1)
+    n_kept = gid.reshape(-1)[-1]
+    return keep, gid, n_kept
+
+
+def apply_block_gid(block_labels, block_valid, keep, gid):
+    """Point-level global ids [Bl, cap] from the keep/renumber tables.
+
+    ``keep``/``gid`` rows must correspond to ``block_labels`` rows (the
+    sharded path slices its device's rows out of the global tables first).
+    Culled or noise points map to 0.
+    """
+    Bl, cap = block_labels.shape
+    kmax = cap + 1
+    keep_full = jnp.concatenate([jnp.zeros((Bl, 1), bool), keep], axis=1)
+    gid_full = jnp.concatenate([jnp.zeros((Bl, 1), jnp.int32), gid], axis=1)
+    # flat 1D gather: 2D advanced indexing lowers to a slow general-gather
+    # on TPU (same pathology as gather-then-slice, ops/geometry callers)
+    b_idx = jnp.arange(Bl, dtype=jnp.int32)[:, None]
+    flat_idx = (b_idx * kmax + block_labels).reshape(-1)
+    point_keep = keep_full.reshape(-1)[flat_idx].reshape(Bl, cap)
+    return jnp.where(
+        block_valid & point_keep,
+        gid_full.reshape(-1)[flat_idx].reshape(Bl, cap), 0
+    )
+
+
+def noise_pack_order(block_labels, noise_mask, capacity: int):
+    """(order i32[capacity], sel bool[capacity]) packing the noise points
+    in reference zeroList order: per cell ascending local id, then slot
+    order (FrmMain.cs:1507-1510). The stable argsort preserves slot order
+    within equal keys, so the key only needs (block, local id) -- keeps it
+    int32-safe on TPU (no x64). Shared by merge_blocks and the sharded
+    path (each packs its own rows; device-major concatenation preserves
+    the global order)."""
+    B, cap = block_labels.shape
+    kmax = cap + 1
+    assert B * kmax < 2**31 - 1, "block count exceeds int32 order-key range"
+    sentinel = jnp.int32(2**31 - 1)
+    okey = jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
+    okey = jnp.where(noise_mask, okey, sentinel).reshape(-1)
+    order = jnp.argsort(okey, stable=True)[:capacity]
+    return order, okey[order] < sentinel
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -101,57 +176,16 @@ def merge_blocks(
     B, cap = block_labels.shape
     kmax = cap + 1  # local ids are < cap+1
 
-    # run counts n_{b,c}: per-block sort + vectorized binary search instead
-    # of a [B*kmax]-segment scatter-add (scatters serialize on TPU)
+    # run counts n_{b,c}: flat segment_sum scatter-add (see
+    # _block_label_counts -- the sort+searchsorted variant lost 14x)
     counts = _block_label_counts(block_labels, block_valid, kmax)
-
-    present = counts[:, 1:] > 0  # [B, cap] run exists for local id c=1..cap
-    n_run = counts[:, 1:]
-    if quirks:
-        has_noise = counts[:, 0] > 0
-        # last existing run per block: local id == max present id
-        max_id = jnp.max(
-            jnp.where(present, jnp.arange(1, kmax)[None, :], 0), axis=1
-        )
-        is_last = jnp.arange(1, kmax)[None, :] == max_id[:, None]
-        eff_len = jnp.where(
-            (jnp.arange(1, kmax)[None, :] == 1) & ~has_noise[:, None],
-            n_run + 1,
-            n_run,
-        )
-        keep = present & (is_last | (eff_len > min_cluster_size))
-    else:
-        keep = present & (n_run > min_cluster_size)
-
-    # global ids in (block, local id) lex order
-    gid = jnp.cumsum(keep.reshape(-1).astype(jnp.int32)).reshape(B, cap)
-    n_kept = gid.reshape(-1)[-1]
-
-    keep_full = jnp.concatenate([jnp.zeros((B, 1), bool), keep], axis=1)
-    gid_full = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), gid], axis=1)
-    # flat 1D gather: 2D advanced indexing lowers to a slow general-gather
-    # on TPU (same pathology as gather-then-slice, ops/geometry callers)
-    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
-    flat_idx = (b_idx * kmax + block_labels).reshape(-1)
-    point_keep = keep_full.reshape(-1)[flat_idx].reshape(B, cap)
-    point_gid = jnp.where(
-        block_valid & point_keep,
-        gid_full.reshape(-1)[flat_idx].reshape(B, cap), 0
-    )
+    keep, gid, n_kept = block_keep_renumber(counts, min_cluster_size, quirks)
+    point_gid = apply_block_gid(block_labels, block_valid, keep, gid)
 
     # ---- noise re-cluster (FrmMain.cs:1507-1520) ----
     noise_mask = block_valid & (point_gid == 0)
-    # reference zeroList order: per cell ascending local id, then slot order.
-    # The stable argsort preserves slot order within equal keys, so the key
-    # only needs (block, local id) -- keeps it int32-safe on TPU (no x64).
-    assert B * kmax < 2**31 - 1, "block count exceeds int32 order-key range"
-    sentinel = jnp.int32(2**31 - 1)
-    order_key = (
-        jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
-    )
-    order_key = jnp.where(noise_mask, order_key, sentinel).reshape(-1)
-    order = jnp.argsort(order_key, stable=True)[:noise_capacity]
-    sel_valid = order_key[order] < sentinel
+    order, sel_valid = noise_pack_order(block_labels, noise_mask,
+                                        noise_capacity)
     coords_flat = block_coords.reshape(B * cap, -1)
     noise_coords = jnp.where(sel_valid[:, None], coords_flat[order], 0.0)
 

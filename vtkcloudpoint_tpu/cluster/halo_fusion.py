@@ -38,7 +38,7 @@ def _safe_id(r):
 
 
 def pack_cells(raw1, raw2, use, cap: int):
-    """Distinct (by raw1) cell-hash pairs of the ``use`` points.
+    """Distinct (raw1, raw2) cell-hash pairs of the ``use`` points.
 
     The cross-device boundary filter exchanges each device's occupied-cell
     LIST instead of all-reducing [2^bits] occupancy tables: the collective
@@ -47,17 +47,28 @@ def pack_cells(raw1, raw2, use, cap: int):
     rendezvous watchdog on oversubscribed validation hosts (and would
     waste ICI on real pods).
 
+    Dedup is by the (raw1, raw2) PAIR: deduping on raw1 alone would let a
+    raw1 collision between two distinct cells (expected ~100+ pairs at ~1M
+    distinct cells/device) drop the second cell's raw2 from the foreign
+    filter's t2 table, turning the Bloom-AND lookup into a silent false
+    NEGATIVE -- a missed cross-device merge no overflow counter surfaces.
+    Pair duplicates only consume ``cap``, which ``dropped`` accounts for.
+
     Returns (cells [cap, 2] i32, sel bool[cap], dropped i32) where dropped
-    counts distinct cells beyond ``cap`` -- a nonzero value means possible
+    counts distinct pairs beyond ``cap`` -- a nonzero value means possible
     MISSED boundary points, so callers add it to the halo overflow.
     """
     n = raw1.shape[0]
     key = jnp.where(use, _safe_id(raw1), jnp.int32(_IMAX))
-    order0 = jnp.argsort(key)
+    # lexicographic (raw1, raw2): stable sort by the secondary key first,
+    # then by the primary -- equal-key runs keep the secondary order
+    o2 = jnp.argsort(raw2, stable=True)
+    order0 = o2[jnp.argsort(key[o2], stable=True)]
     s1 = key[order0]
     s2 = raw2[order0]
     first = jnp.concatenate(
-        [s1[:1] < _IMAX, (s1[1:] != s1[:-1]) & (s1[1:] < _IMAX)]
+        [s1[:1] < _IMAX,
+         ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])) & (s1[1:] < _IMAX)]
     )
     slot = jnp.where(first, jnp.arange(n, dtype=jnp.int32), n)
     order = jnp.argsort(slot)[:cap]

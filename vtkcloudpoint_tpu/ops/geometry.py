@@ -94,6 +94,111 @@ def convex_hull(pts, valid, max_hull: int = 64):
     return hull_pts, hull_valid
 
 
+def convex_hull_quick(pts, valid, max_hull: int = 64):
+    """Hull vertices via batched quickhull: O(log h) data-parallel rounds
+    instead of gift-wrapping's h SEQUENTIAL steps (the gift-wrap scan was
+    the dominant cost of the shapes stage on the real chip -- each of its
+    max_hull-1 steps is a dependent argmin+scatter over [K, cap]).
+
+    Same contract as convex_hull: (hull_pts [max_hull, 2], hull_valid
+    [max_hull]), vertices in convex position, CCW cyclic order (by
+    pseudo-angle around the vertex centroid -- valid for points in convex
+    position). The VERTEX SET equals the true hull's (strictly interior
+    points never selected; boundary-collinear points may be omitted, which
+    gift-wrap includes -- MEC and min-rect outputs are identical either
+    way: MEC containment over vertices bounds the whole hull, and
+    collinear points add no edge directions). Truncated at max_hull like
+    convex_hull.
+
+    Per round: order current vertices by pseudo-angle; every directed hull
+    edge picks the point with max outward cross-distance (argmax over ALL
+    strictly-outside points, not a partition -- the farthest point from a
+    hull edge is always a true hull vertex); picks dedupe and append.
+    Each round grows every unfinished edge by >= 1 vertex, so rounds <=
+    max_hull, typically ~log2(h).
+    """
+    cap = pts.shape[0]
+    h = max_hull
+    x = pts[:, 0]
+    y = pts[:, 1]
+    any_valid = jnp.any(valid)
+
+    # two extreme seeds: min-(x, y) and max-(x, y), lexicographic
+    xmin = jnp.min(jnp.where(valid, x, BIG))
+    i_min = jnp.argmin(jnp.where(valid & (x == xmin), y, BIG))
+    xmax = jnp.max(jnp.where(valid, x, -BIG))
+    i_max = jnp.argmax(jnp.where(valid & (x == xmax), y, -BIG))
+
+    idx0 = jnp.full(h, -1, jnp.int32)
+    idx0 = idx0.at[0].set(i_min.astype(jnp.int32))
+    # degenerate single-point set: keep one slot
+    two = i_max.astype(jnp.int32) != i_min.astype(jnp.int32)
+    idx0 = idx0.at[1].set(jnp.where(two, i_max.astype(jnp.int32), -1))
+
+    def order_ccw(idx):
+        """Sort the slot list into CCW cyclic order (pads last)."""
+        ok = idx >= 0
+        safe = jnp.clip(idx, 0, cap - 1)
+        vx = x[safe]
+        vy = y[safe]
+        nv = jnp.maximum(jnp.sum(ok, dtype=jnp.int32), 1)
+        cx = jnp.sum(jnp.where(ok, vx, 0.0)) / nv
+        cy = jnp.sum(jnp.where(ok, vy, 0.0)) / nv
+        ang = pseudo_angle(cx, cy, vx, vy)
+        key = jnp.where(ok, ang, BIG)
+        o = jnp.argsort(key)
+        return jnp.where(ok[o], idx[o], -1)
+
+    def round_step(state):
+        idx, _, it = state
+        idx = order_ccw(idx)
+        ok = idx >= 0
+        nv = jnp.sum(ok, dtype=jnp.int32)
+        safe = jnp.clip(idx, 0, cap - 1)
+        vx = x[safe]
+        vy = y[safe]
+        # directed edges i -> (i+1) mod nv over the valid prefix
+        nxt = jnp.where(jnp.arange(h) + 1 >= nv, 0, jnp.arange(h) + 1)
+        ex = vx[nxt] - vx
+        ey = vy[nxt] - vy
+        # outward distance: CCW polygon => outside is cross < 0
+        crossd = (ex[:, None] * (y[None, :] - vy[:, None])
+                  - ey[:, None] * (x[None, :] - vx[:, None]))  # [h, cap]
+        edge_ok = ok & (jnp.arange(h) < nv)
+        outside = (crossd < 0) & valid[None, :] & edge_ok[:, None]
+        dist = jnp.where(outside, -crossd, -BIG)
+        pick = jnp.argmax(dist, axis=1).astype(jnp.int32)      # [h]
+        has = jnp.any(outside, axis=1)
+        pick = jnp.where(has, pick, -1)
+        # dedupe this round's picks (a vertex can be outside two edges)
+        ps = jnp.sort(jnp.where(pick >= 0, pick, cap))
+        first = jnp.concatenate([ps[:1] < cap,
+                                 (ps[1:] != ps[:-1]) & (ps[1:] < cap)])
+        new = jnp.where(first, ps, -1)
+        n_new = jnp.sum(first, dtype=jnp.int32)
+        # append unique picks after the current vertices (capacity h)
+        napp = jnp.argsort(jnp.where(new >= 0, jnp.arange(h), h))
+        new_c = jnp.where(jnp.arange(h) < n_new, new[napp], -1)
+        space = h - nv
+        take = jnp.minimum(n_new, space)
+        dst = nv + jnp.arange(h)
+        idx = idx.at[jnp.where(jnp.arange(h) < take, dst, h)].set(
+            new_c, mode="drop")
+        done = (~jnp.any(has)) | (take == 0)
+        return idx, done, it + 1
+
+    def cond(state):
+        return (~state[1]) & (state[2] < h)
+
+    st = round_step((idx0, ~any_valid, jnp.int32(0)))
+    idx, _, _ = jax.lax.while_loop(cond, round_step, st)
+    idx = order_ccw(idx)
+    hull_valid = (idx >= 0) & any_valid
+    safe = jnp.clip(idx, 0, cap - 1)
+    hull_pts = jnp.stack([x[safe], y[safe]], axis=-1)
+    return hull_pts, hull_valid
+
+
 def _circumcircle(a, b, c):
     """Circumcenter via perpendicular-bisector intersection, matching
     Geometry.cs:340-432 (degenerate -> inf center -> inf radius2)."""
@@ -111,6 +216,30 @@ def _circumcircle(a, b, c):
     cy = y1 + dy1 * t1
     r2 = (cx - a[..., 0]) ** 2 + (cy - a[..., 1]) ** 2
     return cx, cy, r2
+
+
+def _triple_table(h: int):
+    """All (a, b, c) with a < b < c < h, lexicographic, as an int32 [T, 3]
+    numpy array -- built from index arithmetic only (np.triu_indices-style;
+    peak host memory O(C(h,3)), never the [h,h,h] cube)."""
+    ib, ic = _np.triu_indices(h, k=1)          # all b < c pairs, lex in (b,c)
+    # lexicographic (a, b, c) order = sort pairs by b then c (triu_indices
+    # already emits that), each pair expanded with a = 0..b-1; to get
+    # a-major lex order, group by a instead: for each pair, the triples
+    # (a, b, c) for a < b. Emitting pair-major then sorting by (a, b, c)
+    # keys reproduces exact lex order.
+    reps = ib.astype(_np.int64)                # number of a's per pair
+    total = int(reps.sum())
+    if total == 0:
+        return _np.zeros((1, 3), _np.int32)    # h < 3: degenerate self-triple
+    pair_of = _np.repeat(_np.arange(len(ib)), reps)
+    starts = _np.cumsum(reps) - reps
+    a = (_np.arange(total) - starts[pair_of]).astype(_np.int64)
+    key = (a * h + ib[pair_of]) * h + ic[pair_of]
+    order = _np.argsort(key, kind="stable")
+    return _np.stack(
+        [a[order], ib[pair_of][order], ic[pair_of][order]], axis=-1
+    ).astype(_np.int32)
 
 
 def min_enclosing_circle(hull_pts, hull_valid):
@@ -158,13 +287,10 @@ def min_enclosing_circle(hull_pts, hull_valid):
     # masked [h^3] cube and the per-step working set stays [chunk, h]
     # (VERDICT r1 item 6: bound the memory; the min over all triples is
     # identical, and lex order preserves the first-minimum tie-break of the
-    # cube enumeration).
-    ia_, ib_, ic_ = _np.meshgrid(
-        _np.arange(h, dtype=_np.int32), _np.arange(h, dtype=_np.int32),
-        _np.arange(h, dtype=_np.int32), indexing="ij",
-    )
-    lex = (ia_ < ib_) & (ib_ < ic_)
-    tri = _np.stack([ia_[lex], ib_[lex], ic_[lex]], axis=-1)
+    # cube enumeration). Built index-only in O(C(h,3)) host memory -- the
+    # earlier [h,h,h] meshgrid allocated 3x h^3 int32 temporaries per jit
+    # trace, a real spike at the documented max_hull=256 ceiling.
+    tri = _triple_table(h)
     if tri.shape[0] == 0:                      # h < 3: pairs only
         tri = _np.zeros((1, 3), _np.int32)     # self-triple: degenerate, BIG
     chunk = min(512, tri.shape[0])

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 
 def indicator_segment_sum(values, seg, num_segments: int,
-                          chunk: int = 8192):
+                          chunk: int = 8192, int32_tail: int = 0):
     """segment-sum as one-hot matmuls: the MXU replacement for scatter-add.
 
     XLA lowers jax.ops.segment_sum to a serialized scatter on TPU (~8 ms
@@ -29,8 +29,15 @@ def indicator_segment_sum(values, seg, num_segments: int,
     original f32 values, accumulation is f32 (HIGHEST stops the MXU's
     default bf16 input truncation).
 
+    ``int32_tail``: the last that-many columns accumulate ACROSS chunks in
+    int32 instead of f32. A count column accumulated in f32 saturates at
+    2^24 (x+1 == x) -- real at 50M-point tier-5 clouds. Per-chunk partial
+    sums are <= chunk << 2^24, hence exact in f32 before the cast.
+
     values: [N, D]; seg: i32[N] in [0, num_segments] -- ids ==
-    num_segments are dropped (sentinel). Returns [num_segments, D].
+    num_segments are dropped (sentinel). Returns [num_segments, D] when
+    int32_tail == 0, else ([num_segments, D - tail] f32,
+    [num_segments, tail] i32).
     """
     n, d = values.shape
     chunk = min(chunk, max(n, 1))
@@ -38,16 +45,26 @@ def indicator_segment_sum(values, seg, num_segments: int,
     vals = jnp.pad(values, ((0, pad), (0, 0)))
     sg = jnp.pad(seg, (0, pad), constant_values=num_segments)
     ids = jnp.arange(num_segments, dtype=sg.dtype)
+    split = d - int32_tail
 
     def step(acc, args):
         lb, vl = args
         oh = (lb[None, :] == ids[:, None]).astype(values.dtype)
-        return acc + jax.lax.dot(
+        out = jax.lax.dot(
             oh, vl, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=values.dtype,
-        ), None
+        )
+        if int32_tail:
+            acc_f, acc_i = acc
+            return (acc_f + out[:, :split],
+                    acc_i + out[:, split:].astype(jnp.int32)), None
+        return acc + out, None
 
-    acc0 = jnp.zeros((num_segments, d), values.dtype)
+    if int32_tail:
+        acc0 = (jnp.zeros((num_segments, split), values.dtype),
+                jnp.zeros((num_segments, int32_tail), jnp.int32))
+    else:
+        acc0 = jnp.zeros((num_segments, d), values.dtype)
     out, _ = jax.lax.scan(
         step, acc0, (sg.reshape(-1, chunk), vals.reshape(-1, chunk, d))
     )
@@ -55,12 +72,13 @@ def indicator_segment_sum(values, seg, num_segments: int,
 
 
 def cluster_counts(label, valid, num_segments: int):
-    """Point count per cluster id. [num_segments] with row 0 = noise."""
+    """Point count per cluster id. [num_segments] with row 0 = noise.
+
+    Exact at any size: the count column accumulates in int32 across chunks
+    (a pure-f32 accumulator silently pins at 2^24 = 16,777,216)."""
     w = valid.astype(jnp.float32)[:, None]
     seg = jnp.where(valid, label, num_segments)
-    # counts <= 2^24 are exact in the f32 matmul accumulator
-    return indicator_segment_sum(w, seg, num_segments)[:, 0].astype(
-        jnp.int32)
+    return indicator_segment_sum(w, seg, num_segments, int32_tail=1)[1][:, 0]
 
 
 def cluster_means(values, label, valid, num_segments: int, weights=None):
@@ -97,11 +115,14 @@ def cluster_stats(xyz, motor, label, valid, num_segments: int, mult=None):
     cols = jnp.concatenate(
         [xyz * w[:, None], motor * w[:, None], w[:, None],
          valid.astype(dt)[:, None]], axis=1)           # [N, 7]
-    sums = indicator_segment_sum(cols, seg, num_segments)
+    # last column = the point count: int32-accumulated so it stays exact
+    # past 2^24 points per cluster (tier-5 50M-point clouds)
+    sums, cnt_i = indicator_segment_sum(cols, seg, num_segments,
+                                        int32_tail=1)
     wcnt = sums[:, 5]
     inv = 1.0 / jnp.maximum(wcnt, 1)
     return {
-        "count": sums[:, 6].astype(jnp.int32),
+        "count": cnt_i[:, 0],
         "weighted_count": wcnt,
         "center3d": sums[:, :3] * inv[:, None],
         "center2d": sums[:, 3:5] * inv[:, None],

@@ -157,18 +157,19 @@ def _hier_union(hx, hlab, hval, n_used, eps: float,
        table; the tables pmin across devices (noise-recluster ids are shared
        by all devices, so the table must stay consistent) and path-compress,
        iterated to a fixpoint (Jacobi over the id graph).
-    2. skin: each device scatters its halo points' GLOBAL eps-cell hashes
-       into a [2^cell_table_bits] occupancy bitmap; one psum makes the
-       global occupancy visible, and a halo point is skin iff some 3^D
-       stencil cell is occupied by another device (total - own > 0).  This
-       is partition-shape-agnostic -- unlike a bounding-box test it cannot
-       blow up when Morton/L-inf device footprints straddle quadrant
-       boundaries -- and hash collisions only ADD skin points (sound).
-       Skins enter fixed-capacity [dev_halo_cap] buffers; one all_gather
-       (a few MB even at 10^7 points -- cheap on ICI) feeds a replicated
-       grid-hash union (grid_union_ids) seeded with the stage-1 table.
-       Collective payload and union cost scale with the device BOUNDARY,
-       not the shell or the world.
+    2. skin: each device packs its DISTINCT occupied eps-cell (raw1, raw2)
+       hash pairs (halo_fusion.pack_cells) and one all_gather of the cell
+       LISTS (O(distinct cells), a few MB at 10^7 points) feeds a local
+       two-hash Bloom-AND membership filter (foreign_cell_filter): a halo
+       point is skin iff some 3^D stencil cell appears in another device's
+       list.  Partition-shape-agnostic -- unlike a bounding-box test it
+       cannot blow up when Morton/L-inf device footprints straddle
+       quadrant boundaries -- and filter false positives only ADD skin
+       points (sound; FP rate = table load SQUARED).  Skins enter
+       fixed-capacity [dev_halo_cap] buffers; one all_gather feeds a
+       replicated grid-hash union (grid_union_ids) seeded with the
+       stage-1 table.  Collective payload and union cost scale with the
+       device BOUNDARY, not the shell or the world.
 
     Exact iff nothing overflows: returns (union dict, overflow) where
     overflow counts device-boundary points dropped by dev_halo_cap plus
@@ -340,64 +341,35 @@ def sharded_blocked_dbscan(
         raise ValueError(
             f"metric {metric!r} has no grid form; use halo_mode='ring'")
 
-    def local_fusion_ids(labels_loc, valid_loc, dev_idx):
-        """Counts for the local shard: [Bloc, cap+1]."""
-        from ..cluster.fusion import _block_label_counts
-
-        return _block_label_counts(labels_loc, valid_loc, kmax)
-
     def fn(coords_loc, valid_loc):
+        from ..cluster.fusion import (
+            _block_label_counts, apply_block_gid, block_keep_renumber,
+            noise_pack_order,
+        )
+
         dev = jax.lax.axis_index(axis)
         db = dbscan_blocks_dispatch(
             coords_loc, valid_loc, eps, min_pts, metric,
             chunk=dbscan_chunk, backend=backend
         )
         labels_loc = db["label"]
-        counts_loc = local_fusion_ids(labels_loc, valid_loc, dev)
+        counts_loc = _block_label_counts(labels_loc, valid_loc, kmax)
         counts = jax.lax.all_gather(counts_loc, axis).reshape(B, kmax)
 
-        # replicated keep/renumber (same rules as cluster.fusion.merge_blocks)
-        present = counts[:, 1:] > 0
-        n_run = counts[:, 1:]
-        if quirks:
-            has_noise = counts[:, 0] > 0
-            max_id = jnp.max(
-                jnp.where(present, jnp.arange(1, kmax)[None, :], 0), axis=1
-            )
-            is_last = jnp.arange(1, kmax)[None, :] == max_id[:, None]
-            eff = jnp.where(
-                (jnp.arange(1, kmax)[None, :] == 1) & ~has_noise[:, None],
-                n_run + 1,
-                n_run,
-            )
-            keep = present & (is_last | (eff > min_cluster_size))
-        else:
-            keep = present & (n_run > min_cluster_size)
-        gid = jnp.cumsum(keep.reshape(-1).astype(jnp.int32)).reshape(B, cap)
-        n_kept = gid.reshape(-1)[-1]
-
+        # replicated keep/renumber: the SAME implementation as the
+        # single-device merge_blocks (cluster.fusion.block_keep_renumber),
+        # applied to this device's rows only
+        keep, gid, n_kept = block_keep_renumber(
+            counts, min_cluster_size, quirks)
         bloc = labels_loc.shape[0]
         my_rows = dev * bloc + jnp.arange(bloc)
-        keep_full = jnp.concatenate([jnp.zeros((B, 1), bool), keep], 1)[my_rows]
-        gid_full = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), gid], 1)[my_rows]
-        # flat 1D gather (2D advanced indexing is a slow general-gather on
-        # TPU; see cluster/fusion.py)
-        b_idx = jnp.arange(bloc)[:, None]
-        flat_idx = (b_idx * kmax + labels_loc).reshape(-1)
-        point_keep = keep_full.reshape(-1)[flat_idx].reshape(bloc, cap)
-        point_gid = jnp.where(
-            valid_loc & point_keep,
-            gid_full.reshape(-1)[flat_idx].reshape(bloc, cap), 0
-        )
+        point_gid = apply_block_gid(
+            labels_loc, valid_loc, keep[my_rows], gid[my_rows])
 
         # ---- noise re-cluster across shards ----
         noise_mask = valid_loc & (point_gid == 0)
-        # stable argsort preserves slot order within equal (block, id) keys
-        sentinel = jnp.int32(2**31 - 1)
-        okey = jnp.arange(bloc, dtype=jnp.int32)[:, None] * kmax + labels_loc
-        okey = jnp.where(noise_mask, okey, sentinel).reshape(-1)
-        order = jnp.argsort(okey, stable=True)[:noise_capacity_per_device]
-        sel_valid = okey[order] < sentinel
+        order, sel_valid = noise_pack_order(
+            labels_loc, noise_mask, noise_capacity_per_device)
         n_noise = jnp.sum(noise_mask, dtype=jnp.int32)
         noise_ovf = jax.lax.psum(
             n_noise - jnp.sum(sel_valid, dtype=jnp.int32), axis
