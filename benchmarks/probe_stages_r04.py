@@ -51,7 +51,8 @@ def main():
     from vtkcloudpoint_tpu.cluster.dbscan import dbscan_padded
     from vtkcloudpoint_tpu.ops.segment import bucket_by_cluster
     from vtkcloudpoint_tpu.ops.geometry import (
-        convex_hull, min_enclosing_circle, min_area_rect, cluster_shapes)
+        convex_hull, convex_hull_quick, min_enclosing_circle, min_area_rect,
+        cluster_shapes)
 
     n = N
     max_blocks = (n + BLOCK_CAP - 1) // BLOCK_CAP
@@ -199,6 +200,10 @@ def main():
     emit(probe="shapes.hull_giftwrap", ms=t(f_hull, pts2, tvalid))
     hp, hv = f_hull(pts2, tvalid)
 
+    f_hq = j(lambda p, v: jax.vmap(
+        lambda pp, vv: convex_hull_quick(pp, vv, MAX_HULL))(p, v))
+    emit(probe="shapes.hull_quick", ms=t(f_hq, pts2, tvalid))
+
     f_mec = j(lambda p, v: jax.vmap(min_enclosing_circle)(p, v))
     emit(probe="shapes.mec", ms=t(f_mec, hp, hv))
 
@@ -207,8 +212,21 @@ def main():
 
     cnts = jnp.sum(tvalid, axis=1, dtype=jnp.int32)
     f_all = j(lambda p, v, c: cluster_shapes(p, v, c, max_hull=MAX_HULL,
-                                             chunk_k=MAX_CLUSTERS))
-    emit(probe="shapes.full_one_call", ms=t(f_all, pts2, tvalid, cnts))
+                                             chunk_k=MAX_CLUSTERS,
+                                             hull="wrap"))
+    emit(probe="shapes.full_wrap", ms=t(f_all, pts2, tvalid, cnts))
+    f_allq = j(lambda p, v, c: cluster_shapes(p, v, c, max_hull=MAX_HULL,
+                                              chunk_k=MAX_CLUSTERS,
+                                              hull="quick"))
+    ow = f_all(pts2, tvalid, cnts)
+    oq = f_allq(pts2, tvalid, cnts)
+    rad_eq = bool(np.allclose(np.asarray(ow["radius"]),
+                              np.asarray(oq["radius"]), rtol=1e-5, atol=1e-7))
+    area_eq = bool(np.allclose(np.asarray(ow["rect_area"]),
+                               np.asarray(oq["rect_area"]),
+                               rtol=1e-5, atol=1e-7))
+    emit(probe="shapes.full_quick", ms=t(f_allq, pts2, tvalid, cnts),
+         radius_eq=rad_eq, area_eq=area_eq)
 
 
 if __name__ == "__main__":

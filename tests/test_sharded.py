@@ -182,6 +182,51 @@ def test_sharded_noise_recluster_grid_matches_dense(mesh):
     assert int(g["noise_overflow"]) == 0
 
 
+def test_sharded_noise_recluster_distributed_matches_grid(mesh):
+    """Owner-sharded re-cluster (O(boundary) collectives) is bit-equal to
+    the replicated gathered-grid path at zero overflow."""
+    rng = np.random.default_rng(15)
+    motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=200,
+                       spread=0.012)
+    n = len(motor)
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), 128)
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), 8, 128)
+    kw = dict(eps=0.06, min_pts=9, quirks=True,
+              noise_capacity_per_device=256, noise_cell_cap=256)
+    g = sharded_blocked_dbscan(mesh, bc, bv, noise_recluster="grid", **kw)
+    d = sharded_blocked_dbscan(mesh, bc, bv, noise_recluster="distributed",
+                               noise_skin_cap=512, noise_root_cap=512, **kw)
+    np.testing.assert_array_equal(np.asarray(g["label"]),
+                                  np.asarray(d["label"]))
+    assert int(g["n_total"]) == int(d["n_total"])
+    assert int(d["noise_overflow"]) == 0
+
+
+def test_sharded_split_programs_matches_fused(mesh):
+    """Two-program mode (collective-free DBSCAN, then fusion) is bit-equal
+    to the fused single program."""
+    rng = np.random.default_rng(16)
+    motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=80, spread=0.012)
+    n = len(motor)
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), 128)
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), 8, 128)
+    kw = dict(eps=0.06, min_pts=9, quirks=True,
+              noise_capacity_per_device=256, halo_merge=True, max_ids=512,
+              halo_mode="hier", dev_halo_cap=256, halo_cell_cap=128,
+              noise_recluster="distributed", noise_skin_cap=512,
+              noise_root_cap=512, noise_cell_cap=256)
+    a = sharded_blocked_dbscan(mesh, bc, bv, **kw)
+    b = sharded_blocked_dbscan(mesh, bc, bv, split_programs=True, **kw)
+    np.testing.assert_array_equal(np.asarray(a["label"]),
+                                  np.asarray(b["label"]))
+    assert int(a["n_total"]) == int(b["n_total"])
+    assert int(a["halo_overflow"]) == int(b["halo_overflow"])
+
+
 def test_sharded_noise_overflow_counter(mesh):
     rng = np.random.default_rng(6)
     motor = make_blobs(rng, n_clusters=2, pts_per=30, noise=200, spread=0.01)

@@ -39,21 +39,50 @@ import jax.numpy as jnp
 from .dbscan import dbscan_padded
 
 
-def _block_label_counts(block_labels, block_valid, kmax: int):
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _block_label_counts(block_labels, block_valid, kmax: int,
+                        row_chunk: int = 64):
     """[B, kmax] occurrence counts of local label c in block b.
 
-    One flat segment_sum. (A sort+searchsorted variant was probed on the
-    real chip and lost 14x -- XLA TPU sorts along the lane axis serialize;
-    the scatter-add here is the fastest known formulation for per-block
-    histograms with B*kmax output bins.)
+    TPU: a chunked compare+reduce over the id axis -- 0.57 ms at the bench
+    shape vs 4.66 ms for the flat segment_sum scatter (probe_stages_r04;
+    XLA TPU scatters run ~100M updates/s while the VPU chews the
+    [chunk, kmax, cap] compare lattice at memory speed). Elsewhere: the
+    scatter-add segment_sum, which is O(n) and right for CPU. (A per-block
+    sort+searchsorted variant was probed in round 3 and lost 14x -- XLA
+    TPU sorts along the lane axis serialize.)
     """
     B = block_labels.shape[0]
-    flat_seg = (
-        jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
-    ).reshape(-1)
-    w = block_valid.reshape(-1).astype(jnp.int32)
-    return jax.ops.segment_sum(
-        w, flat_seg, num_segments=B * kmax).reshape(B, kmax)
+    if not _on_tpu():
+        flat_seg = (
+            jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
+        ).reshape(-1)
+        w = block_valid.reshape(-1).astype(jnp.int32)
+        return jax.ops.segment_sum(
+            w, flat_seg, num_segments=B * kmax).reshape(B, kmax)
+
+    cap = block_labels.shape[1]
+    ids = jnp.arange(kmax, dtype=block_labels.dtype)
+
+    def step(args):
+        lb, vl = args
+        return jnp.sum(
+            (lb[:, None, :] == ids[None, :, None]) & vl[:, None, :],
+            axis=2, dtype=jnp.int32)
+
+    chunk = min(row_chunk, B)
+    pad = (-B) % chunk
+    lp = jnp.pad(block_labels, ((0, pad), (0, 0)), constant_values=0)
+    vp = jnp.pad(block_valid, ((0, pad), (0, 0)))
+    out = jax.lax.map(step, (lp.reshape(-1, chunk, cap),
+                             vp.reshape(-1, chunk, cap)))
+    return out.reshape(-1, kmax)[:B]
 
 
 def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
@@ -91,19 +120,47 @@ def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
     return keep, gid, n_kept
 
 
-def apply_block_gid(block_labels, block_valid, keep, gid):
+def apply_block_gid(block_labels, block_valid, keep, gid,
+                    row_chunk: int = 64):
     """Point-level global ids [Bl, cap] from the keep/renumber tables.
 
     ``keep``/``gid`` rows must correspond to ``block_labels`` rows (the
     sharded path slices its device's rows out of the global tables first).
     Culled or noise points map to 0.
+
+    TPU: a batched one-hot matmul -- out[b, c] = sum_k 1[label==k]*gid[b,k]
+    rides the MXU at 1.09 ms vs 7.53 ms for the flat per-point gather
+    (probe2_r04; random gathers from a [B*kmax] table run ~130M/s on v5e).
+    Exact while gid < 2^24 (f32 products are the original int values);
+    guarded by a trace-time assert, with the gather as the big-id/CPU
+    path. Elsewhere: the flat 1D gather (2D advanced indexing lowers to a
+    slow general-gather on TPU, and CPU gathers are already O(n)).
     """
     Bl, cap = block_labels.shape
     kmax = cap + 1
+    if _on_tpu() and Bl * cap < 2**24 * 4:
+        # kept-cluster count <= points/(min_size+1) <= Bl*cap/4 < 2^24
+        gk = jnp.where(keep, gid, 0).astype(jnp.float32)
+
+        def step(args):
+            lb, gkc = args
+            ids = jnp.arange(1, kmax, dtype=lb.dtype)
+            oh = (lb[:, :, None] == ids[None, None, :]).astype(jnp.float32)
+            return jax.lax.dot_general(
+                oh, gkc[:, :, None], (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)[..., 0]
+
+        chunk = min(row_chunk, Bl)
+        pad = (-Bl) % chunk
+        lp = jnp.pad(block_labels, ((0, pad), (0, 0)), constant_values=0)
+        gp = jnp.pad(gk, ((0, pad), (0, 0)))
+        out = jax.lax.map(step, (lp.reshape(-1, chunk, cap),
+                                 gp.reshape(-1, chunk, gk.shape[1])))
+        return jnp.where(block_valid,
+                         out.reshape(-1, cap)[:Bl].astype(jnp.int32), 0)
+
     keep_full = jnp.concatenate([jnp.zeros((Bl, 1), bool), keep], axis=1)
     gid_full = jnp.concatenate([jnp.zeros((Bl, 1), jnp.int32), gid], axis=1)
-    # flat 1D gather: 2D advanced indexing lowers to a slow general-gather
-    # on TPU (same pathology as gather-then-slice, ops/geometry callers)
     b_idx = jnp.arange(Bl, dtype=jnp.int32)[:, None]
     flat_idx = (b_idx * kmax + block_labels).reshape(-1)
     point_keep = keep_full.reshape(-1)[flat_idx].reshape(Bl, cap)
@@ -127,8 +184,12 @@ def noise_pack_order(block_labels, noise_mask, capacity: int):
     sentinel = jnp.int32(2**31 - 1)
     okey = jnp.arange(B, dtype=jnp.int32)[:, None] * kmax + block_labels
     okey = jnp.where(noise_mask, okey, sentinel).reshape(-1)
-    order = jnp.argsort(okey, stable=True)[:capacity]
-    return order, okey[order] < sentinel
+    # one multi-operand sort carries the slot index as payload: ~6x the
+    # argsort-then-gather (probe2_r04 lax_sort_4operand 0.33 ms vs
+    # argsort 1.12 + gather 4.05 at 500k)
+    idx = jnp.arange(okey.shape[0], dtype=jnp.int32)
+    skey, order = jax.lax.sort((okey, idx), num_keys=1, is_stable=True)
+    return order[:capacity], skey[:capacity] < sentinel
 
 
 @partial(
@@ -141,6 +202,8 @@ def noise_pack_order(block_labels, noise_mask, capacity: int):
         "eps",
         "min_pts",
         "metric",
+        "noise_engine",
+        "noise_cell_cap",
     ),
 )
 def merge_blocks(
@@ -155,6 +218,8 @@ def merge_blocks(
     min_cluster_size: int = 3,
     quirks: bool = True,
     noise_capacity: int = 4096,
+    noise_engine: str = "dense",
+    noise_cell_cap: int = 32,
 ):
     """Fuse per-block local labels into global cluster ids.
 
@@ -190,9 +255,22 @@ def merge_blocks(
     noise_coords = jnp.where(sel_valid[:, None], coords_flat[order], 0.0)
 
     cf_seed = (n_kept - 1) if quirks else n_kept
-    re = dbscan_padded(
-        noise_coords, sel_valid, eps, min_pts, metric, cf=cf_seed
-    )
+    if noise_engine == "grid":
+        # O(T x stencil) grid engine for large noise buffers -- the dense
+        # [T, T] adjacency is 4 GB at the tier-3 noise capacity (32k)
+        from .grid import dbscan_grid, grid_metric
+
+        gmetric = grid_metric(metric, noise_coords.shape[-1])
+        if gmetric is None:
+            raise ValueError(
+                f"metric {metric!r} has no grid form; use "
+                "noise_engine='dense'")
+        re = dbscan_grid(noise_coords, sel_valid, eps, min_pts, gmetric,
+                         cf=cf_seed, cell_cap=noise_cell_cap)
+    else:
+        re = dbscan_padded(
+            noise_coords, sel_valid, eps, min_pts, metric, cf=cf_seed
+        )
     n_total = cf_seed + re["n_clusters"]
 
     # scatter re-cluster labels back into the block grid
@@ -213,7 +291,8 @@ def merge_blocks(
         "label": label,
         "n_kept": n_kept,
         "n_total": n_total,
-        "noise_overflow": jnp.maximum(n_noise - noise_capacity, 0),
+        "noise_overflow": jnp.maximum(n_noise - noise_capacity, 0)
+        + (re["overflow"] if noise_engine == "grid" else 0),
     }
 
 

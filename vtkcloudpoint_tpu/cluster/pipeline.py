@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig
 from ..ops.metrics import coords_for_metric
-from ..ops.segment import cluster_stats, bucket_by_cluster
+from ..ops.segment import cluster_stats, bucket_payload_by_cluster
 from ..ops.geometry import cluster_shapes
 from .blocks import (
     assign_blocks_reference, assign_blocks_balanced, gather_blocks,
@@ -126,19 +126,18 @@ def cluster_scan(
         stats = cluster_stats(xyz, motor, label, valid, max_clusters)
 
     # circumcircles: 3D (X, Y) and 2D motor variants (FrmMain.cs:1539-1540)
-    table, _ = bucket_by_cluster(label, valid, max_clusters, cluster_capacity)
-    safe = jnp.clip(table, 0, n - 1)
-    tvalid = table >= 0
-    shapes3d = cluster_shapes(
-        jnp.where(tvalid[..., None], xyz[..., :2][safe], 0.0), tvalid,
-        stats["count"], max_hull=max_hull,
-        min_points=cfg.filters.circle_min_points,
-    )
-    shapes2d = cluster_shapes(
-        jnp.where(tvalid[..., None], motor[safe], 0.0), tvalid,
-        stats["count"], max_hull=max_hull,
-        min_points=cfg.filters.circle_min_points,
-    )
+    # -- both coordinate systems ride one payload sort + one batched [2K]
+    # shapes call (the index-table + per-cluster gather formulation costs
+    # two ~N-element random-access ops on TPU; see
+    # segment.bucket_payload_by_cluster)
+    pay = (xyz[:, 0], xyz[:, 1], motor[:, 0], motor[:, 1])
+    tabs, tval, runs, _ = bucket_payload_by_cluster(
+        label, valid, pay, max_clusters, cluster_capacity)
+    both = jnp.concatenate([tabs[..., 0:2], tabs[..., 2:4]], axis=0)
+    bval = jnp.concatenate([tval, tval], axis=0)
+    bcnt = jnp.concatenate([runs, runs], axis=0)
+    sh = cluster_shapes(both, bval, bcnt, max_hull=max_hull,
+                        min_points=cfg.filters.circle_min_points)
 
     return ClusterResult(
         label=label,
@@ -146,9 +145,9 @@ def cluster_scan(
         count=stats["count"],
         center3d=stats["center3d"],
         center2d=stats["center2d"],
-        radius3d=shapes3d["radius"],
-        radius2d=shapes2d["radius"],
-        aspect=shapes3d["aspect"],
+        radius3d=sh["radius"][:max_clusters],
+        radius2d=sh["radius"][max_clusters:],
+        aspect=sh["aspect"][:max_clusters],
         block_overflow=jnp.sum(overflow),
         noise_overflow=fused["noise_overflow"],
     )

@@ -375,9 +375,11 @@ def min_area_rect(hull_pts, hull_valid):
     )
 
 
-@partial(jax.jit, static_argnames=("max_hull", "min_points", "chunk_k"))
+@partial(jax.jit,
+         static_argnames=("max_hull", "min_points", "chunk_k", "hull"))
 def cluster_shapes(points, valid, counts, max_hull: int = 64,
-                   min_points: int = 4, chunk_k: int = 256):
+                   min_points: int = 4, chunk_k: int = 256,
+                   hull: str = "wrap"):
     """Hull + MEC + min-rect for a batch of padded clusters.
 
     points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.
@@ -389,11 +391,25 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
     peak intermediate working set is ~chunk_k * chunk * max_hull floats
     (chunk <= 512) regardless of K or max_hull.
 
+    ``hull``: "wrap" (default) = the reference-ordered gift-wrap
+    (Geometry.cs parity); "quick" = batched quickhull in O(log h) rounds.
+    Despite the asymptotic edge, quick MEASURES 6.5x SLOWER on the real
+    chip at the bench shape ([1024, 1024] clusters, max_hull 32 -- 28.0 vs
+    4.3 ms, probe_stages_r04): its per-round [h]-argsort + dedupe + append
+    sequence costs more than gift-wrap's single argmin sweep, and
+    while_loop prevents XLA from pipelining rounds. Kept for max_hull
+    truncation cases, where quick retains a SPREAD of true vertices and is
+    strictly more accurate than wrap's angular-arc truncation. MEC and
+    rect outputs are otherwise identical except the len0/len1 split of
+    EXACT-TIE minimal rectangles (every edge of a triangle hull ties; the
+    split follows hull edge order; area and radius are always identical).
+
     Returns dict of [K]-shaped circle centers/radii and rect side lengths.
     """
+    hull_fn = {"wrap": convex_hull, "quick": convex_hull_quick}[hull]
 
     def one(p, v):
-        hp, hv = convex_hull(p, v, max_hull)
+        hp, hv = hull_fn(p, v, max_hull)
         cx, cy, r = min_enclosing_circle(hp, hv)
         l0, l1, area = min_area_rect(hp, hv)
         return cx, cy, r, l0, l1, area

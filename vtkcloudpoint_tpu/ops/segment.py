@@ -129,6 +129,99 @@ def cluster_stats(xyz, motor, label, valid, num_segments: int, mult=None):
     }
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def bucket_payload_by_cluster(label, valid, payload, num_segments: int,
+                              capacity: int):
+    """Per-cluster padded PAYLOAD tables built from SORTS alone (TPU).
+
+    The index-table path (bucket_by_cluster + a per-cluster coordinate
+    gather) costs two ~1M-element random-access ops on TPU (~8 ms each at
+    the bench shape, probe2_r04), and a direct [N, P] row scatter is worse
+    still (~23 ms measured -- a P-wide minor dim wastes 97% of each vector
+    op). lax.sort, by contrast, moves 500k rows with 5 operands in ~1 ms.
+    So on TPU the table is built with ONE sort plus WINDOWED slices:
+
+    1. two-key sort (cluster id, point index) -- payload rides along;
+       the iota second key makes the order deterministic without the 2.5x
+       cost of is_stable (probe3_r04: stable 2.44 ms vs two-key 1.03 at
+       500k x 5 operands);
+    2. each cluster's table row IS the contiguous window
+       sorted[first_c : first_c + capacity]: a vmapped dynamic_slice per
+       cluster lowers to a gather with capacity-wide slices -- S window
+       DMAs, not S*capacity scalar gathers (the element-gather and
+       scatter formulations both measured 6-21 ms here);
+    3. slots past the run length mask to zero.
+
+    label: i32[N]; valid: bool[N]; payload: f32[N, P] or a tuple of f32[N]
+    columns (the tuple form never materializes an [N, P] array -- small
+    minor dims get 8x-padded TPU tilings). Returns
+    (tables [num_segments, capacity, P] -- zeros in empty slots --,
+    slot_valid [num_segments, capacity], counts i32[num_segments],
+    overflow i32[num_segments]). Slot order within each cluster is
+    ascending point index, same contract as bucket_by_cluster. On CPU the
+    dest-slot scatter replaces steps 3-4 (linear and cache-friendly
+    there).
+    """
+    cols = (tuple(payload[:, i] for i in range(payload.shape[1]))
+            if not isinstance(payload, (tuple, list)) else tuple(payload))
+    p = len(cols)
+    n = label.shape[0]
+    dtype = cols[0].dtype
+    total = num_segments * capacity
+    lab = jnp.where(valid, label, num_segments).astype(jnp.int32)
+
+    if not _on_tpu():
+        ops = (lab,) + cols
+        sorted_ops = jax.lax.sort(ops, num_keys=1, is_stable=True)
+        sorted_lab = sorted_ops[0]
+        first = jnp.searchsorted(sorted_lab, jnp.arange(num_segments + 1))
+        run = (first[1:] - first[:-1]).astype(jnp.int32)
+        idx = jnp.arange(n, dtype=jnp.int32)
+        rank = idx - first[jnp.clip(sorted_lab, 0, num_segments)].astype(
+            jnp.int32)
+        in_cap = (rank < capacity) & (sorted_lab < num_segments)
+        flat = jnp.where(
+            in_cap,
+            sorted_lab * capacity + jnp.clip(rank, 0, capacity - 1),
+            total,
+        )
+        sorted_pay = jnp.stack(sorted_ops[1:], axis=-1)
+        tables = (
+            jnp.zeros((total, p), dtype)
+            .at[flat].set(sorted_pay, mode="drop")
+            .reshape(num_segments, capacity, p)
+        )
+        slot_valid = (jnp.arange(capacity)[None, :]
+                      < jnp.minimum(run, capacity)[:, None])
+        return tables, slot_valid, run, jnp.maximum(run - capacity, 0)
+
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((lab, iota, *cols), num_keys=2, is_stable=False)
+    sk = out[0]
+    first = jnp.searchsorted(sk, jnp.arange(num_segments + 1)).astype(
+        jnp.int32)
+    run = first[1:] - first[:-1]
+    starts = first[:num_segments]
+    slot_valid = (jnp.arange(capacity)[None, :]
+                  < jnp.minimum(run, capacity)[:, None])
+
+    def windows(col):
+        colp = jnp.concatenate([col, jnp.zeros(capacity, col.dtype)])
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(colp, (s,), (capacity,))
+        )(starts)
+        return jnp.where(slot_valid, rows, 0)
+
+    tables = jnp.stack([windows(c) for c in out[2:]], axis=-1)
+    return tables, slot_valid, run, jnp.maximum(run - capacity, 0)
+
+
 def bucket_by_cluster(label, valid, num_segments: int, capacity: int):
     """Build a per-cluster point-index table [num_segments, capacity].
 

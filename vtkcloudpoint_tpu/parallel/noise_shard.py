@@ -1,0 +1,277 @@
+"""Distributed cross-boundary noise re-cluster: owner-sharded DBSCAN over
+the packed noise shells with collectives that scale with the DEVICE
+BOUNDARY, not the world.
+
+The replicated design (parallel.sharded noise_recluster="grid"/"dense")
+all_gathers every device's noise buffer and re-clusters the world on every
+device (FrmMain.cs:1507-1520 semantics): payload ndev x capacity x D and
+the work duplicated ndev times -- fine at 8 devices, not at pod scale
+(VERDICT r3 missing item 4). Here each device keeps its own noise and the
+cross-device interaction reduces to the skin (points whose eps-cell
+stencil touches another device's occupied cells), using the same
+distinct-cell-list + Bloom-AND machinery as the halo skin filter
+(cluster.halo_fusion.pack_cells / foreign_cell_filter):
+
+1. exchange distinct occupied eps-cell hash pairs  -> O(distinct cells);
+2. mark own skin points, exchange their coords+gids -> O(boundary);
+3. every device runs grid DBSCAN over [own noise + foreign skins]: own
+   counts/core are EXACT (every eps-neighbor of an own point is either
+   own or a gathered skin -- the cell-stencil filter over-approximates,
+   never misses, see halo_buffers soundness note); skins' core flags come
+   from their owners (one bool exchange);
+4. components = min-GLOBAL-index label fixpoint: local sweeps over the
+   grid candidates, then one O(skin) label exchange per outer round
+   (block-Jacobi -- information crosses each device cut once per round);
+5. cluster ids: each device publishes its sorted root gids (a root is an
+   own core point whose label is its own gid) -> O(roots); ids are
+   cf + rank in the merged sorted root list, which equals the replicated
+   dbscan_grid's scan-order renumbering because gids are device-major
+   pack order. Border points take the max adjacent core id
+   (cluster.dbscan rule 4), computable locally since every adjacent core
+   is in the augmented set.
+
+Exact iff overflow == 0: the returned overflow counts dropped distinct
+cells, skin-capacity drops, root-capacity drops, and grid candidate-window
+truncation, psum'd. With zero overflow the labels are BIT-EQUAL to the
+replicated dbscan_grid over the gathered noise (tests/test_sharded.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..cluster.grid import _PRIMES, _PRIMES2, _MASK, _pair_dist
+from ..cluster.halo_fusion import (
+    cell_hashes, foreign_cell_filter, pack_cells,
+)
+
+
+def _grid_sorted(coords, valid, eps, cell_cap: int, metric: str):
+    """Sorted-cell candidate structure over a padded set (the dbscan_grid
+    machinery, factored for querying with EXTERNAL per-point values).
+
+    Returns (order, my_orig, candidate_fn, overflow) where
+    candidate_fn(chunk_positions) -> (cand sorted-indices [c, 3^D*cap],
+    ok mask, dist) for sorted positions.
+    """
+    from itertools import product
+
+    n, ndim = coords.shape
+    offsets = list(product((-1, 0, 1), repeat=ndim))
+    self_idx = offsets.index((0,) * ndim)
+    big = jnp.asarray(1e30, coords.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], coords, big), axis=0)
+    c = jnp.floor((coords - lo[None, :]) / eps).astype(jnp.int32)
+
+    raw_h = jnp.zeros(n, jnp.int32)
+    for ax in range(ndim):
+        raw_h = raw_h + c[:, ax] * jnp.int32(_PRIMES[ax])
+
+    def wrap32(v):
+        return ((v + 2**31) % 2**32) - 2**31
+
+    deltas = [
+        wrap32(sum(int(offsets[o][ax]) * _PRIMES[ax] for ax in range(ndim)))
+        for o in range(len(offsets))
+    ]
+    own_h = raw_h & _MASK
+    int_max = jnp.int32(2**31 - 1)
+    cell = jnp.where(valid, own_h, int_max)
+    order = jnp.argsort(cell, stable=True)
+    sc = cell[order]
+    pts_s = coords[order]
+    valid_s = valid[order]
+    nbr_cells = jnp.stack(
+        [(raw_h + jnp.int32(d)) & _MASK for d in deltas], axis=1
+    )[order]
+    starts = jnp.searchsorted(sc, nbr_cells.reshape(-1)).reshape(
+        n, len(offsets))
+    k_idx = jnp.arange(cell_cap)
+
+    def candidate_fn(p_slice):
+        st = starts[p_slice]
+        raw = st[:, :, None] + k_idx[None, None, :]
+        in_range = raw < n
+        cand = jnp.minimum(raw, n - 1)
+        want = nbr_cells[p_slice][:, :, None]
+        ok = (sc[cand] == want) & valid_s[cand] & in_range
+        cand = cand.reshape(p_slice.shape[0], -1)
+        ok = ok.reshape(p_slice.shape[0], -1)
+        d = _pair_dist(pts_s[p_slice][:, None, :], pts_s[cand], metric)
+        return cand, ok & (d <= eps)
+
+    own_start = starts[:, self_idx]
+    rank = jnp.arange(n) - own_start
+    overflow = jnp.sum((rank >= cell_cap) & valid_s, dtype=jnp.int32)
+    return order, candidate_fn, overflow
+
+
+def _chunked(n, chunk):
+    chunk = min(chunk, max(n, 1))
+    pad = (-n) % chunk
+    pos = jnp.arange(n + pad) % jnp.maximum(n, 1)
+    return pos.reshape(-1, chunk)
+
+
+def sharded_noise_recluster(
+    coords, sel, eps: float, min_pts: int, metric: str, cf,
+    axis: str, ndev: int,
+    skin_cap: int = 1024,
+    root_cap: int = 4096,
+    cell_cap: int = 32,
+    max_rounds: int = 16,
+    cell_table_bits: int = 24,
+    chunk: int = 8192,
+):
+    """Owner-sharded noise re-cluster (call inside shard_map).
+
+    coords: [capd, D] this device's packed noise; sel: [capd] valid mask;
+    cf: replicated id seed. Returns (label i32[capd] -- global cluster
+    ids cf+1.., 0 noise --, n_clusters i32 total new clusters, overflow
+    i32 psum'd across devices).
+    """
+    capd, D = coords.shape
+    dev = jax.lax.axis_index(axis)
+    inf32 = jnp.int32(2**31 - 1)
+    gid0 = dev * capd + jnp.arange(capd, dtype=jnp.int32)
+
+    # ---- step 1: distinct-cell exchange + skin detection ----
+    raw1, d1 = cell_hashes(coords, eps, _PRIMES)
+    raw2, d2 = cell_hashes(coords, eps, _PRIMES2)
+    list_cap = max(1024, capd // 2)
+    cells, csel, cdrop = pack_cells(raw1, raw2, sel, list_cap)
+    gcells = jax.lax.all_gather(cells, axis)
+    gcsel = jax.lax.all_gather(csel, axis)
+    other = jnp.arange(ndev) != dev
+    skin = sel & foreign_cell_filter(
+        raw1, raw2, d1, d2, gcells.reshape(-1, 2),
+        (gcsel & other[:, None]).reshape(-1), cell_table_bits,
+    )
+
+    # ---- step 2: skin exchange (coords + gids) ----
+    slot = jnp.where(skin, jnp.arange(capd, dtype=jnp.int32), capd)
+    sorder = jnp.argsort(slot)[:skin_cap]
+    s_ok = slot[sorder] < capd
+    big = jnp.asarray(1e30, coords.dtype)
+    s_x = jnp.where(s_ok[:, None], coords[sorder], big)
+    s_g = jnp.where(s_ok, gid0[sorder], inf32)
+    skin_drop = jnp.sum(skin, dtype=jnp.int32) - jnp.sum(
+        s_ok, dtype=jnp.int32)
+    g_sx = jax.lax.all_gather(s_x, axis)           # [ndev, skin_cap, D]
+    g_sg = jax.lax.all_gather(s_g, axis)
+    g_sok = jax.lax.all_gather(s_ok, axis)
+    not_own = other[:, None]
+    f_ok = (g_sok & not_own).reshape(-1)           # foreign-skin validity
+
+    a_x = jnp.concatenate([coords, g_sx.reshape(-1, D)])
+    a_ok = jnp.concatenate([sel, f_ok])
+    a_g = jnp.concatenate([gid0, g_sg.reshape(-1)])
+    na = a_x.shape[0]
+
+    order, cand_fn, grid_ovf = _grid_sorted(a_x, a_ok, eps, cell_cap, metric)
+    pos_chunks = _chunked(na, chunk)
+
+    # ---- step 3: own counts/core; skins' core flags from owners ----
+    def count_chunk(p_slice):
+        cand, hit = cand_fn(p_slice)
+        return jnp.sum(hit, axis=1, dtype=jnp.int32)
+
+    counts_s = jax.lax.map(count_chunk, pos_chunks).reshape(-1)[:na]
+    counts = jnp.zeros(na, jnp.int32).at[order].set(counts_s)
+    core_own = (counts[:capd] >= min_pts) & sel
+
+    s_core = jnp.where(s_ok, core_own[sorder], False)
+    g_score = jax.lax.all_gather(s_core, axis)
+    a_core = jnp.concatenate([core_own, (g_score & not_own).reshape(-1)])
+    a_core_s = a_core[order]
+    a_g_s = a_g[order]
+
+    # ---- step 4: min-gid label fixpoint (local sweeps + skin exchange) ----
+    lab_own0 = jnp.where(core_own, gid0, inf32)
+    skin_lab0 = jnp.where(g_score & g_sok, g_sg, inf32)  # [ndev, skin_cap]
+
+    def local_fixpoint(lab_own, f_lab):
+        # a_lab in ORIGINAL augmented order; foreign rows fixed this round
+        def sweep(lab_own):
+            a_lab = jnp.concatenate([lab_own, f_lab.reshape(-1)])
+            lab_s = a_lab[order]
+
+            def chunk_min(p_slice):
+                cand, hit = cand_fn(p_slice)
+                adj = hit & a_core_s[cand]
+                return jnp.min(
+                    jnp.where(adj, lab_s[cand], inf32), axis=1)
+
+            nm_s = jax.lax.map(chunk_min, pos_chunks).reshape(-1)[:na]
+            nm = jnp.full(na, inf32, jnp.int32).at[order].set(nm_s)
+            new = jnp.where(core_own,
+                            jnp.minimum(lab_own, nm[:capd]), inf32)
+            # partial pointer jump through OWN gids (labels are global
+            # gids; only locally-owned chain links can shortcut here)
+            local = (new >= dev * capd) & (new < (dev + 1) * capd)
+            jumped = new[jnp.clip(new - dev * capd, 0, capd - 1)]
+            return jnp.where(local, jnp.minimum(new, jumped), new)
+
+        def body(st):
+            lab, _, it = st
+            nl = sweep(lab)
+            return nl, jnp.any(nl != lab), it + 1
+
+        l1, ch1, it1 = body((lab_own, None, jnp.int32(0)))
+        lab, _, _ = jax.lax.while_loop(
+            lambda st: st[1] & (st[2] < 64), body, (l1, ch1, it1))
+        return lab
+
+    def outer(st):
+        lab_own, f_lab, _, rounds = st
+        lab_own = local_fixpoint(lab_own, f_lab)
+        s_lab = jnp.where(s_ok, lab_own[sorder], inf32)
+        g_slab = jax.lax.all_gather(s_lab, axis)
+        f_new = jnp.minimum(f_lab, g_slab)
+        changed = jax.lax.psum(
+            jnp.any(f_new != f_lab).astype(jnp.int32), axis) > 0
+        return lab_own, f_new, changed, rounds + 1
+
+    st = outer((lab_own0, skin_lab0, None, jnp.int32(0)))
+    lab_own, _, _, _ = jax.lax.while_loop(
+        lambda st: st[2] & (st[3] < max_rounds), outer, st)
+    # one final local pass so the last exchanged labels fully apply
+    f_lab_final = jax.lax.all_gather(
+        jnp.where(s_ok, lab_own[sorder], inf32), axis)
+    lab_own = local_fixpoint(lab_own, jnp.minimum(skin_lab0, f_lab_final))
+
+    # ---- step 5: roots -> global ranks -> ids ----
+    is_root = core_own & (lab_own == gid0)
+    r_slot = jnp.where(is_root, jnp.arange(capd, dtype=jnp.int32), capd)
+    rorder = jnp.argsort(r_slot)[:root_cap]
+    r_ok = r_slot[rorder] < capd
+    r_g = jnp.where(r_ok, gid0[rorder], inf32)
+    root_drop = jnp.sum(is_root, dtype=jnp.int32) - jnp.sum(
+        r_ok, dtype=jnp.int32)
+    g_roots = jnp.sort(jax.lax.all_gather(r_g, axis).reshape(-1))
+    n_clusters = jnp.sum(g_roots < inf32, dtype=jnp.int32)
+
+    def rank_of(lab):
+        # 1-based rank of a root gid in the merged sorted root list; the
+        # fixpoint guarantees every final label IS a root gid
+        return jnp.searchsorted(g_roots, lab).astype(jnp.int32) + 1
+
+    core_id_own = jnp.where(core_own, cf + rank_of(lab_own), 0)
+    # skins' ids for the border rule: their labels are final too
+    a_lab = jnp.concatenate([
+        lab_own, jnp.minimum(skin_lab0, f_lab_final).reshape(-1)])
+    a_id_s = jnp.where(a_core_s, cf + rank_of(a_lab[order]), 0)
+
+    def border_chunk(p_slice):
+        cand, hit = cand_fn(p_slice)
+        adj = hit & a_core_s[cand]
+        return jnp.max(jnp.where(adj, a_id_s[cand], 0), axis=1)
+
+    border_s = jax.lax.map(border_chunk, pos_chunks).reshape(-1)[:na]
+    border = jnp.zeros(na, jnp.int32).at[order].set(border_s)[:capd]
+
+    label = jnp.where(core_own, core_id_own,
+                      jnp.where(sel, border, 0)).astype(jnp.int32)
+    overflow = jax.lax.psum(
+        cdrop + skin_drop + root_drop + grid_ovf, axis)
+    return label, n_clusters, overflow

@@ -282,8 +282,10 @@ def sharded_blocked_dbscan(
     max_ids: int = 4096,
     axis: str = "blocks",
     backend: str = "auto",
-    noise_recluster: str = "auto",   # "grid" | "dense" | "auto"
+    noise_recluster: str = "auto",   # "grid" | "dense" | "distributed" | "auto"
     noise_cell_cap: int = 32,
+    noise_skin_cap: int = 1024,      # "distributed": boundary-noise buffer
+    noise_root_cap: int = 4096,      # "distributed": per-device root list
     halo_mode: str = "ring",         # "ring" | "gather" | "hier"
     dev_halo_cap: int = 512,         # "hier": device-boundary skin capacity
     halo_cell_cap: int = 64,         # "hier": grid cells in the local stage
@@ -291,6 +293,7 @@ def sharded_blocked_dbscan(
     halo_width_eps: float = None,     # shell width multiple of eps
     dbscan_chunk: int = 64,          # per-device blocks in flight (jnp path)
     cell_table_bits: int = 24,       # halo/skin occupancy-table size (2^bits)
+    split_programs: bool = False,    # run DBSCAN and fusion as two programs
 ):
     """Distributed blocked DBSCAN + fusion.
 
@@ -298,6 +301,18 @@ def sharded_blocked_dbscan(
     mesh size. Returns dict(label [B, cap] global ids, n_total,
     noise_overflow, halo_overflow) -- overflow counters report any point
     silently dropped by the fixed capacities (VERDICT r1 item 3b).
+
+    ``split_programs=True`` compiles TWO shard_map programs instead of one:
+    program 1 is the collective-FREE per-device DBSCAN (labels/core stay
+    device-resident between programs), program 2 is the fusion, which
+    issues its first all_gather within milliseconds of launch. The fused
+    single program stalls XLA:CPU validation hosts at scale: each virtual
+    device computes minutes of per-device DBSCAN before its first
+    collective, and with fewer host cores than devices the workers reach
+    the rendezvous farther apart than the runtime's ~2-minute collective
+    watchdog allows (TIER5_r03 attempts 4-6 died there; real ICI meshes
+    run devices in parallel and don't need this). Results are bit-equal;
+    both modes share the same fusion body.
 
     The cross-boundary noise re-cluster (FrmMain.cs:1507-1520 semantics)
     gathers each device's noise shell and re-clusters it replicated; with
@@ -334,25 +349,27 @@ def sharded_blocked_dbscan(
         noise_recluster = (
             "grid" if gmetric is not None and total_noise > 8192
             else "dense")
-    if noise_recluster == "grid" and gmetric is None:
+    if noise_recluster in ("grid", "distributed") and gmetric is None:
         raise ValueError(
             f"metric {metric!r} has no grid form; use noise_recluster='dense'")
     if halo_mode == "hier" and gmetric is None:
         raise ValueError(
             f"metric {metric!r} has no grid form; use halo_mode='ring'")
 
-    def fn(coords_loc, valid_loc):
+    def local_dbscan(coords_loc, valid_loc):
+        db = dbscan_blocks_dispatch(
+            coords_loc, valid_loc, eps, min_pts, metric,
+            chunk=dbscan_chunk, backend=backend
+        )
+        return db["label"], db["core"]
+
+    def fusion_fn(coords_loc, valid_loc, labels_loc, core_loc):
         from ..cluster.fusion import (
             _block_label_counts, apply_block_gid, block_keep_renumber,
             noise_pack_order,
         )
 
         dev = jax.lax.axis_index(axis)
-        db = dbscan_blocks_dispatch(
-            coords_loc, valid_loc, eps, min_pts, metric,
-            chunk=dbscan_chunk, backend=backend
-        )
-        labels_loc = db["label"]
         counts_loc = _block_label_counts(labels_loc, valid_loc, kmax)
         counts = jax.lax.all_gather(counts_loc, axis).reshape(B, kmax)
 
@@ -376,21 +393,37 @@ def sharded_blocked_dbscan(
         )
         cflat = coords_loc.reshape(bloc * cap, D)
         my_noise = jnp.where(sel_valid[:, None], cflat[order], 0.0)
-        all_noise = jax.lax.all_gather(my_noise, axis).reshape(-1, D)
-        all_sel = jax.lax.all_gather(sel_valid, axis).reshape(-1)
         cf_seed = (n_kept - 1) if quirks else n_kept
-        if noise_recluster == "grid":
-            re = dbscan_grid(
-                all_noise, all_sel, eps, min_pts, gmetric,
-                cf=cf_seed, cell_cap=noise_cell_cap,
+        if noise_recluster == "distributed":
+            # owner-sharded re-cluster: collectives scale with the device
+            # BOUNDARY (skin + distinct cells + roots), never the world's
+            # noise; bit-equal to the gathered path at zero overflow
+            from .noise_shard import sharded_noise_recluster
+
+            my_re, n_new, novf2 = sharded_noise_recluster(
+                my_noise, sel_valid, eps, min_pts, gmetric, cf_seed,
+                axis, ndev, skin_cap=noise_skin_cap,
+                root_cap=noise_root_cap, cell_cap=noise_cell_cap,
+                max_rounds=fixpoint_max_rounds,
+                cell_table_bits=cell_table_bits,
             )
-            noise_ovf = noise_ovf + re["overflow"]
+            noise_ovf = noise_ovf + novf2
+            n_total = cf_seed + n_new
         else:
-            re = dbscan_padded(
-                all_noise, all_sel, eps, min_pts, metric, cf=cf_seed
-            )
-        n_total = cf_seed + re["n_clusters"]
-        my_re = re["label"].reshape(ndev, -1)[dev]
+            all_noise = jax.lax.all_gather(my_noise, axis).reshape(-1, D)
+            all_sel = jax.lax.all_gather(sel_valid, axis).reshape(-1)
+            if noise_recluster == "grid":
+                re = dbscan_grid(
+                    all_noise, all_sel, eps, min_pts, gmetric,
+                    cf=cf_seed, cell_cap=noise_cell_cap,
+                )
+                noise_ovf = noise_ovf + re["overflow"]
+            else:
+                re = dbscan_padded(
+                    all_noise, all_sel, eps, min_pts, metric, cf=cf_seed
+                )
+            n_total = cf_seed + re["n_clusters"]
+            my_re = re["label"].reshape(ndev, -1)[dev]
 
         flat_gid = point_gid.reshape(-1)
         flat_gid = flat_gid.at[order].set(
@@ -406,7 +439,7 @@ def sharded_blocked_dbscan(
 
             hx, hlab, hval, hov = halo_buffers(
                 coords_loc, valid_loc, out_labels,
-                db["core"], eps, halo_cap,
+                core_loc, eps, halo_cap,
                 shell_eps=eps * halo_width_eps,
                 # globally-unique block ids + mesh-reduced occupancy tables
                 # so the boundary test sees every other device's blocks
@@ -449,6 +482,38 @@ def sharded_blocked_dbscan(
             n_total = uni["n_after"]
 
         return out_labels, n_total[None], noise_ovf[None], halo_ovf[None]
+
+    if split_programs:
+        # program 1: collective-free per-device DBSCAN (device-resident out)
+        labels, core = jax.jit(
+            shard_map(
+                local_dbscan,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis)),
+                out_specs=(P(axis), P(axis)),
+                check_vma=False,
+            )
+        )(block_coords, block_valid)
+        # program 2: fusion -- first collective fires right after launch
+        out_labels, n_total, noise_ovf, halo_ovf = jax.jit(
+            shard_map(
+                fusion_fn,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                check_vma=False,
+            )
+        )(block_coords, block_valid, labels, core)
+        return {
+            "label": out_labels,
+            "n_total": n_total[0],
+            "noise_overflow": noise_ovf[0],
+            "halo_overflow": halo_ovf[0],
+        }
+
+    def fn(coords_loc, valid_loc):
+        labels_loc, core_loc = local_dbscan(coords_loc, valid_loc)
+        return fusion_fn(coords_loc, valid_loc, labels_loc, core_loc)
 
     out_labels, n_total, noise_ovf, halo_ovf = jax.jit(
         shard_map(
