@@ -93,6 +93,7 @@ def main():
 
         halo_cap, cell_cap = HALO_CAP, HALO_CELL_CAP
         dev_halo_cap, noise_cap = DEV_HALO_CAP, NOISE_CAP
+        noise_skin_cap, noise_root_cap = NOISE_SKIN_CAP, NOISE_ROOT_CAP
         if AUTO_CAPS and CLOUD == "disk":
             import math
             from vtkcloudpoint_tpu.config import ParallelConfig
@@ -103,6 +104,8 @@ def main():
             halo_cap, cell_cap = caps["halo_cap"], caps["cell_cap"]
             dev_halo_cap, noise_cap = (caps["dev_halo_cap"],
                                        caps["noise_capacity"])
+            noise_skin_cap = caps["noise_skin_cap"]
+            noise_root_cap = caps["noise_root_cap"]
             emit(metric="tier5_auto_caps", devices=ndev, density=density,
                  eps=EPS, **{k: v for k, v in caps.items()
                              if k != "ball_points"},
@@ -114,8 +117,8 @@ def main():
                 noise_capacity_per_device=noise_cap, halo_merge=True,
                 max_ids=max_ids, halo_cap=halo_cap, halo_mode=HALO_MODE,
                 dev_halo_cap=dev_halo_cap, halo_cell_cap=cell_cap,
-                noise_recluster=NOISE_MODE, noise_skin_cap=NOISE_SKIN_CAP,
-                noise_root_cap=NOISE_ROOT_CAP, dbscan_chunk=DB_CHUNK,
+                noise_recluster=NOISE_MODE, noise_skin_cap=noise_skin_cap,
+                noise_root_cap=noise_root_cap, dbscan_chunk=DB_CHUNK,
                 split_programs=SPLIT)
 
         out = run()
@@ -157,8 +160,8 @@ def main():
             # distributed: distinct-cell lists + skin (coords+gid+core+lab
             # per round) + root lists
             (max(1024, noise_cap // 2) * 8
-             + NOISE_SKIN_CAP * (2 * 4 + 4 + 1 + 4 * 4)
-             + NOISE_ROOT_CAP * 4)
+             + noise_skin_cap * (2 * 4 + 4 + 1 + 4 * 4)
+             + noise_root_cap * 4)
             if NOISE_MODE == "distributed"
             # replicated: every device's packed noise buffer, gathered
             else ndev * noise_cap * (2 * 4 + 1))

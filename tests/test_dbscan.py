@@ -111,3 +111,32 @@ def test_blocks_vmap():
         np.testing.assert_array_equal(
             np.asarray(out["label"])[b, : len(per_block[b])], ref_labels)
         assert int(out["n_clusters"][b]) == ref_k
+
+
+def test_dense_chunked_matches_padded():
+    """dbscan_dense_chunked (tile-recompute engine for mid-size noise
+    re-clusters) is bit-identical to dbscan_padded."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.cluster.dbscan import (
+        dbscan_padded, dbscan_dense_chunked)
+
+    rng = np.random.default_rng(11)
+    for trial in range(3):
+        n = 700 + 100 * trial
+        k = 6
+        centers = rng.uniform(0, 1, (k, 2))
+        pts = np.concatenate(
+            [c + 0.01 * rng.standard_normal((n // (k + 1), 2))
+             for c in centers]
+            + [rng.uniform(0, 1, (n - (n // (k + 1)) * k, 2))])[:n]
+        coords = jnp.asarray(pts.astype(np.float32))
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        a = dbscan_padded(coords, valid, 0.03, 5, "l1_motor", cf=7)
+        b = dbscan_dense_chunked(coords, valid, 0.03, 5, "l1_motor",
+                                 cf=7, chunk=128)
+        np.testing.assert_array_equal(np.asarray(a["label"]),
+                                      np.asarray(b["label"]))
+        assert int(a["n_clusters"]) == int(b["n_clusters"])
+        np.testing.assert_array_equal(np.asarray(a["core"]),
+                                      np.asarray(b["core"]))

@@ -218,7 +218,7 @@ def merge_blocks(
     min_cluster_size: int = 3,
     quirks: bool = True,
     noise_capacity: int = 4096,
-    noise_engine: str = "dense",
+    noise_engine: str = "auto",   # auto | dense | dense_chunked | grid
     noise_cell_cap: int = 32,
 ):
     """Fuse per-block local labels into global cluster ids.
@@ -255,9 +255,19 @@ def merge_blocks(
     noise_coords = jnp.where(sel_valid[:, None], coords_flat[order], 0.0)
 
     cf_seed = (n_kept - 1) if quirks else n_kept
+    if noise_engine == "auto":
+        # engine policy by noise capacity T (measured on v5e, r4):
+        # - T <= 8k: stored-adjacency dense (T^2 fits; fastest);
+        # - larger on TPU: chunked dense -- recompute [chunk, T] distance
+        #   tiles per sweep on the VPU. The grid engine's stencil gathers
+        #   run ~10M/s on TPU and took SECONDS at T=65k (tier-3 first
+        #   attempt); dense recompute is a few ms of vector work;
+        # - larger on CPU: the grid engine (linear work beats T^2 there).
+        if noise_capacity <= 8192:
+            noise_engine = "dense"
+        else:
+            noise_engine = "dense_chunked" if _on_tpu() else "grid"
     if noise_engine == "grid":
-        # O(T x stencil) grid engine for large noise buffers -- the dense
-        # [T, T] adjacency is 4 GB at the tier-3 noise capacity (32k)
         from .grid import dbscan_grid, grid_metric
 
         gmetric = grid_metric(metric, noise_coords.shape[-1])
@@ -267,6 +277,12 @@ def merge_blocks(
                 "noise_engine='dense'")
         re = dbscan_grid(noise_coords, sel_valid, eps, min_pts, gmetric,
                          cf=cf_seed, cell_cap=noise_cell_cap)
+    elif noise_engine == "dense_chunked":
+        from .dbscan import dbscan_dense_chunked
+
+        re = dbscan_dense_chunked(
+            noise_coords, sel_valid, eps, min_pts, metric, cf=cf_seed
+        )
     else:
         re = dbscan_padded(
             noise_coords, sel_valid, eps, min_pts, metric, cf=cf_seed

@@ -150,11 +150,22 @@ class ParallelConfig:
         # before the safety multiplier (a 10^5-cell run WILL sample the tail)
         cell_bound = cell + 6.0 * math.sqrt(cell) + 4.0
         noise = noise_frac * dev_pts
+        noise_capacity = up8(safety * noise + 64)
+        # distributed noise re-cluster (parallel.noise_shard): the skin is
+        # the noise within the ~2*eps boundary band (same 2x-band x
+        # 2x-perimeter budget as the halo skin, scaled by noise_frac); a
+        # skin buffer can never need more than the noise buffer itself
+        # (skin points are a subset of own noise). Roots are bounded by
+        # noise points / min_pts <= noise / 2.
+        noise_skin = 16.0 * eps * noise_frac * math.sqrt(dev_pts * density)
         return {
             "halo_cap": cap_or_all(shell, block_cap),
             "cell_cap": up8(safety * cell_bound),
             "dev_halo_cap": cap_or_all(skin, dev_pts),
-            "noise_capacity": up8(safety * noise + 64),
+            "noise_capacity": noise_capacity,
+            "noise_skin_cap": min(up8(safety * noise_skin + 64),
+                                  noise_capacity),
+            "noise_root_cap": up8(safety * noise / 2 + 64),
             "ball_points": 2.0 * eps * eps * density,
         }
 

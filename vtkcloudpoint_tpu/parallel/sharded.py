@@ -343,12 +343,24 @@ def sharded_blocked_dbscan(
         # TPU-first policy: the dense [T, T] path is pure MXU/VPU work and
         # beats the gather-heavy grid engine up to surprisingly large T on
         # real chips (measured 0.2 ms dense vs 60 ms grid at T=4096 on
-        # v5e -- random gathers cost ~100x an MXU MAC); the grid engine
-        # wins where the dense matrix stops fitting (T^2 * 4 B).
+        # v5e -- random gathers cost ~100x an MXU MAC). Past the stored-
+        # adjacency budget, TPU switches to the chunked-dense recompute
+        # engine (tile distances per sweep -- the grid engine's stencil
+        # gathers took SECONDS at T=65k, tier-3 r4); the grid engine
+        # serves CPU hosts, where linear work wins.
         total_noise = ndev * noise_capacity_per_device
-        noise_recluster = (
-            "grid" if gmetric is not None and total_noise > 8192
-            else "dense")
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover
+            on_tpu = False
+        if total_noise <= 8192:
+            noise_recluster = "dense"
+        elif on_tpu:
+            noise_recluster = "dense_chunked"
+        elif gmetric is not None:
+            noise_recluster = "grid"
+        else:
+            noise_recluster = "dense"
     if noise_recluster in ("grid", "distributed") and gmetric is None:
         raise ValueError(
             f"metric {metric!r} has no grid form; use noise_recluster='dense'")
@@ -418,6 +430,12 @@ def sharded_blocked_dbscan(
                     cf=cf_seed, cell_cap=noise_cell_cap,
                 )
                 noise_ovf = noise_ovf + re["overflow"]
+            elif noise_recluster == "dense_chunked":
+                from ..cluster.dbscan import dbscan_dense_chunked
+
+                re = dbscan_dense_chunked(
+                    all_noise, all_sel, eps, min_pts, metric, cf=cf_seed
+                )
             else:
                 re = dbscan_padded(
                     all_noise, all_sel, eps, min_pts, metric, cf=cf_seed
