@@ -199,6 +199,8 @@ def main():
                  n_clusters_gather=int(ref["n_total"]))
             assert same, f"{HALO_MODE} union != gather union at {n} points"
 
+    if os.environ.get("BENCH_SKIP_ICP", "0") == "1":
+        return
     # distributed LARGE-TARGET ICP at the largest mesh: the full tier cloud
     # is the map (sharded over devices, per-shard grid locators), queries
     # ride the ppermute ring (parallel.sharded.sharded_icp_grid)

@@ -169,6 +169,8 @@ class Engine:
             kw.setdefault("dev_halo_cap", caps["dev_halo_cap"])
             kw.setdefault("noise_capacity_per_device",
                           caps["noise_capacity"])
+            kw.setdefault("noise_skin_cap", caps["noise_skin_cap"])
+            kw.setdefault("noise_root_cap", caps["noise_root_cap"])
         out = sharded_blocked_dbscan(
             mesh, bc, bv, eps=self.cfg.cluster.eps,
             min_pts=self.cfg.cluster.min_pts,

@@ -233,8 +233,12 @@ def sharded_noise_recluster(
         return lab_own, f_new, changed, rounds + 1
 
     st = outer((lab_own0, skin_lab0, None, jnp.int32(0)))
-    lab_own, _, _, _ = jax.lax.while_loop(
+    lab_own, _, still_changing, _ = jax.lax.while_loop(
         lambda st: st[2] & (st[3] < max_rounds), outer, st)
+    # exiting on the round cap with changes still flowing means labels
+    # (hence ids) may be unconverged -- surface it through overflow so the
+    # "exact iff overflow == 0" contract holds (no silent cap)
+    unconverged = still_changing.astype(jnp.int32)
     # one final local pass so the last exchanged labels fully apply
     f_lab_final = jax.lax.all_gather(
         jnp.where(s_ok, lab_own[sorder], inf32), axis)
@@ -273,5 +277,5 @@ def sharded_noise_recluster(
     label = jnp.where(core_own, core_id_own,
                       jnp.where(sel, border, 0)).astype(jnp.int32)
     overflow = jax.lax.psum(
-        cdrop + skin_drop + root_drop + grid_ovf, axis)
+        cdrop + skin_drop + root_drop + grid_ovf + unconverged, axis)
     return label, n_clusters, overflow
