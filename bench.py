@@ -58,11 +58,18 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def synthetic_cloud(n, seed=0, noise_frac=0.006):
     """Dense blob field: ~n points, small noise fraction so the noise
     re-cluster fits its capacity (matches the reference's intended regime --
-    most points belong to clusters)."""
+    most points belong to clusters).
+
+    k=500 blobs so that n_total AFTER cross-block splits (~1.9x, the
+    reference's own behavior without its optional merges) stays under
+    MAX_CLUSTERS: the earlier k=600 cloud produced 1136 ids against
+    1024-row tables, silently dropping ~112 clusters' stats/shape rows
+    (found in round 4; the same capacity bug bit tier-3's first attempt).
+    """
     rng = np.random.default_rng(seed)
     n_noise = int(n * noise_frac)
     n_clustered = n - n_noise
-    k = 600
+    k = 500
     centers = rng.uniform(0.02, 0.98, size=(k, 2))
     per = n_clustered // k
     pts = [centers[i] + 0.0008 * rng.standard_normal((per, 2)) for i in range(k)]
@@ -132,7 +139,7 @@ def tpu_pipeline():
             bval = jnp.concatenate([tval, tval], axis=0)
             bcnt = jnp.concatenate([runs, runs], axis=0)
             sh = cluster_shapes(both, bval, bcnt, max_hull=MAX_HULL,
-                                chunk_k=2 * MAX_CLUSTERS)
+                                chunk_k=2 * MAX_CLUSTERS, tri_chunk=2480)
             centers = stats["center3d"]
             cvalid = stats["count"] > 0
             res = icp(centers, cvalid, truth, truth_valid,
@@ -186,7 +193,7 @@ def tpu_pipeline():
             bval = jnp.concatenate([tval, tval], axis=0)
             bcnt = jnp.concatenate([runs, runs], axis=0)
             sh = cluster_shapes(both, bval, bcnt, max_hull=MAX_HULL,
-                                chunk_k=2 * MAX_CLUSTERS)
+                                chunk_k=2 * MAX_CLUSTERS, tri_chunk=2480)
             return sh["radius"][:MAX_CLUSTERS], sh["radius"][MAX_CLUSTERS:]
 
         s_shapes = j(shapes)
@@ -325,6 +332,10 @@ def tpu_pipeline():
     best = max(results, key=lambda b: results[b]["pts_per_sec"])
     stage("winner", backend=best)
     r = results[best]
+    # a cluster count past the table size silently drops stats/shape rows
+    # -- refuse to report a number from an under-sized run
+    assert r["n_clusters"] <= MAX_CLUSTERS, (
+        f"n_clusters {r['n_clusters']} exceeds MAX_CLUSTERS {MAX_CLUSTERS}")
     return n / (r["wall_ms"] / 1e3), r["wall_ms"] / 1e3, r["n_clusters"]
 
 

@@ -227,7 +227,12 @@ def main():
     r, t, d, it, ovf = sharded_icp_grid(
         mesh, jnp.asarray(src), jnp.ones(n_icp, bool), jnp.asarray(tgt3),
         jnp.ones(m_tgt, bool), ICPConfig(tol=1e-10, max_iterations=30),
-        cell_size=cell, cell_cap=128, fallback_cap=4096,
+        cell_size=cell, cell_cap=128,
+        # the brute fallback budget is per nn_grid CALL: size it to the
+        # per-device query count or large query batches overflow it (the
+        # r4 sweep's 8192-query/device tail left ~38% of stencil-
+        # unresolved queries beyond a fixed 4096 budget)
+        fallback_cap=max(4096, n_icp // ndev),
         chunk=min(4096, n_icp // ndev))
     rot_err = float(np.abs(np.asarray(r) - r_true).max())
     dt = time.perf_counter() - t0

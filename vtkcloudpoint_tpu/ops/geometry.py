@@ -242,12 +242,14 @@ def _triple_table(h: int):
     ).astype(_np.int32)
 
 
-def min_enclosing_circle(hull_pts, hull_valid):
+def min_enclosing_circle(hull_pts, hull_valid, tri_chunk: int = 512):
     """Minimal enclosing circle from hull points (center, radius).
 
     Brute force over hull pairs and triples + containment, per
     Geometry.cs:247-337. Returns (cx, cy, radius); radius 0 when fewer than
     2 valid hull points (reference returns radius 0 on no solution).
+    ``tri_chunk`` trades scan depth for per-step working set in the
+    C(h,3) triple sweep.
     """
     h = hull_pts.shape[0]
     px = jnp.where(hull_valid, hull_pts[:, 0], BIG)
@@ -293,7 +295,7 @@ def min_enclosing_circle(hull_pts, hull_valid):
     tri = _triple_table(h)
     if tri.shape[0] == 0:                      # h < 3: pairs only
         tri = _np.zeros((1, 3), _np.int32)     # self-triple: degenerate, BIG
-    chunk = min(512, tri.shape[0])
+    chunk = min(tri_chunk, tri.shape[0])
     pad = (-tri.shape[0]) % chunk
     # padding repeats the last real triple; it can never win strictly
     tri = _np.concatenate([tri, _np.repeat(tri[-1:], pad, axis=0)])
@@ -376,10 +378,11 @@ def min_area_rect(hull_pts, hull_valid):
 
 
 @partial(jax.jit,
-         static_argnames=("max_hull", "min_points", "chunk_k", "hull"))
+         static_argnames=("max_hull", "min_points", "chunk_k", "hull",
+                          "tri_chunk"))
 def cluster_shapes(points, valid, counts, max_hull: int = 64,
                    min_points: int = 4, chunk_k: int = 256,
-                   hull: str = "wrap"):
+                   hull: str = "wrap", tri_chunk: int = 512):
     """Hull + MEC + min-rect for a batch of padded clusters.
 
     points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.
@@ -410,7 +413,7 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
 
     def one(p, v):
         hp, hv = hull_fn(p, v, max_hull)
-        cx, cy, r = min_enclosing_circle(hp, hv)
+        cx, cy, r = min_enclosing_circle(hp, hv, tri_chunk)
         l0, l1, area = min_area_rect(hp, hv)
         return cx, cy, r, l0, l1, area
 
