@@ -60,16 +60,17 @@ def synthetic_cloud(n, seed=0, noise_frac=0.006):
     re-cluster fits its capacity (matches the reference's intended regime --
     most points belong to clusters).
 
-    k=500 blobs so that n_total AFTER cross-block splits (~1.9x, the
+    k=450 blobs so that n_total AFTER cross-block splits (~2.1x, the
     reference's own behavior without its optional merges) stays under
     MAX_CLUSTERS: the earlier k=600 cloud produced 1136 ids against
     1024-row tables, silently dropping ~112 clusters' stats/shape rows
-    (found in round 4; the same capacity bug bit tier-3's first attempt).
+    (found in round 4; the same capacity bug bit tier-3's first attempt --
+    bench.py now ASSERTS n_clusters <= MAX_CLUSTERS).
     """
     rng = np.random.default_rng(seed)
     n_noise = int(n * noise_frac)
     n_clustered = n - n_noise
-    k = 500
+    k = 450
     centers = rng.uniform(0.02, 0.98, size=(k, 2))
     per = n_clustered // k
     pts = [centers[i] + 0.0008 * rng.standard_normal((per, 2)) for i in range(k)]
@@ -96,9 +97,7 @@ def tpu_pipeline():
     except Exception:
         pass
     import jax.numpy as jnp
-    from vtkcloudpoint_tpu.cluster.blocks import (
-        assign_blocks_balanced, gather_blocks_ordered,
-    )
+    from vtkcloudpoint_tpu.cluster.blocks import partition_gather_sorted
     from vtkcloudpoint_tpu.cluster.dbscan import (
         dbscan_blocks_dispatch, resolve_backend,
     )
@@ -118,9 +117,9 @@ def tpu_pipeline():
 
     def make_step(backend):
         def step(motor, xyz, valid, truth, truth_valid):
-            part = assign_blocks_balanced(motor, valid, BLOCK_CAP)
-            bc, bv, pidx, _ = gather_blocks_ordered(
-                motor, part["order"], valid, max_blocks, BLOCK_CAP)
+            # one multi-operand sort = partition + blocked layout, no gather
+            bc, bv, pidx, _ = partition_gather_sorted(
+                motor, valid, BLOCK_CAP, max_blocks)
             db = dbscan_blocks_dispatch(bc, bv, EPS, MIN_PTS, "l1_motor",
                                         chunk=16, backend=backend)
             fused = merge_blocks(db["label"], bv, bc, pidx, n, EPS, MIN_PTS,
@@ -164,11 +163,9 @@ def tpu_pipeline():
         def j(f):
             return jax.jit(f)
 
-        s_part = j(lambda m, v: assign_blocks_balanced(m, v, BLOCK_CAP))
-        part = s_part(motor_d, valid)
-        s_gather = j(lambda m, o, v: gather_blocks_ordered(
-            m, o, v, max_blocks, BLOCK_CAP))
-        bc, bv, pidx, _ = s_gather(motor_d, part["order"], valid)
+        s_part = j(lambda m, v: partition_gather_sorted(
+            m, v, BLOCK_CAP, max_blocks))
+        bc, bv, pidx, _ = s_part(motor_d, valid)
         s_db = j(lambda c, v: dbscan_blocks_dispatch(
             c, v, EPS, MIN_PTS, "l1_motor", chunk=16, backend=backend))
         db = s_db(bc, bv)
@@ -228,8 +225,7 @@ def tpu_pipeline():
             return round(max(tk - t1, 0.0) / (k - 1) * 1e3, 2)
 
         times = {
-            "partition": t(s_part, motor_d, valid),
-            "gather": t(s_gather, motor_d, part["order"], valid),
+            "partition_gather": t(s_part, motor_d, valid),
             "dbscan": t(s_db, bc, bv),
             "fusion": t(s_fuse, db["label"], bv, bc, pidx),
             "stats": t(s_stats, xyz_d, motor_d, fused["label"], valid),

@@ -21,6 +21,14 @@ def setup_jax(force_cpu_devices: int | None = None):
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + f" --xla_force_host_platform_device_count={force_cpu_devices}"
+            # virtual devices CONTEND for the host's few cores, so threads
+            # reach each collective minutes apart at 10M+ points; XLA:CPU's
+            # default rendezvous watchdog (40 s termination) would kill the
+            # run. Raise it -- a validation-host knob only; real ICI meshes
+            # run devices in parallel and never come near the default.
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=14400"
+            + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+            + " --xla_cpu_collective_timeout_seconds=14400"
         ).strip()
         jax.config.update("jax_platforms", "cpu")
     try:

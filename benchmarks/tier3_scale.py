@@ -72,8 +72,7 @@ def main():
                                          "/tmp/jaxcache") + "-dev")
     except Exception:
         pass
-    from vtkcloudpoint_tpu.cluster.blocks import (
-        assign_blocks_balanced, gather_blocks_ordered)
+    from vtkcloudpoint_tpu.cluster.blocks import partition_gather_sorted
     from vtkcloudpoint_tpu.cluster.dbscan import (
         dbscan_blocks_dispatch, resolve_backend)
     from vtkcloudpoint_tpu.cluster.fusion import merge_blocks
@@ -94,9 +93,8 @@ def main():
     motor, xyz, truth, k_true = cloud(n)
 
     def step(motor, xyz, valid, truth, truth_valid):
-        part = assign_blocks_balanced(motor, valid, BLOCK_CAP)
-        bc, bv, pidx, gath_ovf = gather_blocks_ordered(
-            motor, part["order"], valid, max_blocks, BLOCK_CAP)
+        bc, bv, pidx, gath_ovf = partition_gather_sorted(
+            motor, valid, BLOCK_CAP, max_blocks)
         db = dbscan_blocks_dispatch(bc, bv, EPS, MIN_PTS, "l1_motor",
                                     chunk=16, backend=backend)
         fused = merge_blocks(db["label"], bv, bc, pidx, n, EPS, MIN_PTS,

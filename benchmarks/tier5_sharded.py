@@ -240,6 +240,17 @@ def main():
          target_points=m_tgt, query_points=n_icp, cell_size=cell,
          residual=float(d), rot_err_vs_truth=rot_err, iters=int(it),
          nn_overflow=int(ovf), wall_s=round(dt, 2))
+    # analytic ring payload (docstring contract of sharded_icp_grid): each
+    # hop moves (query xyz, best d2, best y, ok) = 8 f32/query; the ring
+    # does ndev hops per ICP iteration and the target NEVER moves --
+    # collective bytes scale with the SOURCE, not the map
+    q_loc = n_icp // ndev
+    per_iter = q_loc * 8 * 4 * ndev
+    emit(metric="tier5_icp_ring_bytes_per_device", devices=ndev,
+         queries_per_device=q_loc, bytes_per_iteration=per_iter,
+         total_bytes=per_iter * int(it),
+         bytes_per_query_per_iter=8 * 4 * ndev,
+         target_bytes_moved=0)
 
 
 if __name__ == "__main__":

@@ -174,3 +174,28 @@ def test_halo_merge_in_pipeline():
     assert k_true == 2
     assert int(plain.n_clusters) > k_true
     assert int(merged.n_clusters) == k_true
+
+
+def test_partition_gather_sorted_matches_two_step():
+    """The fused one-sort partition equals assign_blocks_balanced +
+    gather_blocks_ordered (the gather-free bench path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.cluster.blocks import (
+        assign_blocks_balanced, gather_blocks_ordered,
+        partition_gather_sorted)
+
+    rng = np.random.default_rng(21)
+    for n, cap in ((2000, 64), (5000, 128)):
+        motor = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        b = (n + cap - 1) // cap
+        part = assign_blocks_balanced(jnp.asarray(motor), valid, cap)
+        bc0, bv0, pi0, ov0 = gather_blocks_ordered(
+            jnp.asarray(motor), part["order"], valid, b, cap)
+        bc1, bv1, pi1, ov1 = partition_gather_sorted(
+            jnp.asarray(motor), valid, cap, b)
+        np.testing.assert_array_equal(np.asarray(pi0), np.asarray(pi1))
+        np.testing.assert_array_equal(np.asarray(bv0), np.asarray(bv1))
+        np.testing.assert_allclose(np.asarray(bc0), np.asarray(bc1))
+        np.testing.assert_array_equal(np.asarray(ov0), np.asarray(ov1))

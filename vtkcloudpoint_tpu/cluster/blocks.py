@@ -125,6 +125,50 @@ def assign_blocks_balanced(motor, valid, block_capacity: int):
     return {"block": block, "n_blocks": n_blocks, "order": order}
 
 
+@partial(jax.jit, static_argnames=("capacity", "max_blocks"))
+def partition_gather_sorted(motor, valid, capacity: int, max_blocks: int):
+    """assign_blocks_balanced + gather_blocks_ordered in ONE multi-operand
+    sort: the Morton code carries (x, y, index) as sort payloads, so the
+    blocked coordinate layout falls out of the sort with NO gather.
+
+    On TPU the separate path costs an argsort (~1 ms at 500k) plus a
+    ~1M-row random gather (~2 ms); lax.sort moves the same rows in
+    ~0.4 ms (probe2/3_r04). Identical outputs to the two-step path
+    (tested): (block_coords [B, cap, 2], block_valid [B, cap],
+    point_index [B, cap] i32 with -1 padding, overflow [1]).
+    """
+    n = motor.shape[0]
+    x = motor[:, 0]
+    y = motor[:, 1]
+    xmin, ymin, xmax, ymax = _extents(motor, valid)
+    sx = jnp.clip((x - xmin) / jnp.maximum(xmax - xmin, 1e-30), 0.0, 1.0)
+    sy = jnp.clip((y - ymin) / jnp.maximum(ymax - ymin, 1e-30), 0.0, 1.0)
+    qx = jnp.minimum((sx * 65535.0).astype(jnp.int32), 65534)
+    qy = jnp.minimum((sy * 65535.0).astype(jnp.int32), 65534)
+    code = _morton_key(qx, qy)
+    code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # two keys (code, index) = stable order without is_stable's 2.5x cost
+    _, si, sx_, sy_ = jax.lax.sort((code, idx, x, y), num_keys=2)
+    total = max_blocks * capacity
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    def fit(a, fill):
+        if n >= total:
+            return a[:total]
+        return jnp.pad(a, (0, total - n), constant_values=fill)
+
+    slot_valid = jnp.arange(total) < jnp.minimum(n_valid, total)
+    pidx = jnp.where(slot_valid, fit(si, 0), -1).reshape(
+        max_blocks, capacity)
+    bx = jnp.where(slot_valid, fit(sx_, 0.0), 0.0)
+    by = jnp.where(slot_valid, fit(sy_, 0.0), 0.0)
+    block_coords = jnp.stack([bx, by], axis=-1).reshape(
+        max_blocks, capacity, 2)
+    overflow = jnp.maximum(n_valid - total, 0)[None]
+    return block_coords, pidx >= 0, pidx, overflow
+
+
 @partial(jax.jit, static_argnames=("max_blocks", "capacity"))
 def gather_blocks_ordered(coords, order, valid, max_blocks: int,
                           capacity: int):
