@@ -150,7 +150,14 @@ class ParallelConfig:
         # before the safety multiplier (a 10^5-cell run WILL sample the tail)
         cell_bound = cell + 6.0 * math.sqrt(cell) + 4.0
         noise = noise_frac * dev_pts
-        noise_capacity = up8(safety * noise + 64)
+        # the cull turns boundary-split cluster FRAGMENTS (runs of <=
+        # min_cluster_size points) into extra noise the background
+        # noise_frac does not model: ~(min_size + 1) points per block
+        # bounds it (measured ~2.5/block at both 1M and 10M disk runs;
+        # the un-modeled term overflowed the first 10M attempt by 10,928
+        # points across 8 devices)
+        cull_noise = 4.0 * blocks_per_device
+        noise_capacity = up8(safety * (noise + cull_noise) + 64)
         # distributed noise re-cluster (parallel.noise_shard): the skin is
         # the noise within the ~2*eps boundary band (same 2x-band x
         # 2x-perimeter budget as the halo skin, scaled by noise_frac); a

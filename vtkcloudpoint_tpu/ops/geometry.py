@@ -61,8 +61,8 @@ def convex_hull(pts, valid, max_hull: int = 64):
     cand = valid & (y == ymin)
     start = jnp.argmin(jnp.where(cand, x, BIG))
 
-    def step(carry, _):
-        cur, sweep, picked, done = carry
+    def step(carry):
+        cur, sweep, picked, done, out, i = carry
         cx = x[cur]
         cy = y[cur]
         ang = pseudo_angle(cx, cy, x, y)
@@ -79,14 +79,20 @@ def convex_hull(pts, valid, max_hull: int = 64):
         new_cur = jnp.where(emit, best, cur)
         new_sweep = jnp.where(emit, best_angle, sweep)
         new_picked = picked.at[best].set(picked[best] | emit)
-        out_idx = jnp.where(emit, best, -1)
-        return (new_cur, new_sweep, new_picked, new_done), out_idx
+        out = out.at[i].set(jnp.where(emit, best.astype(jnp.int32), -1))
+        return new_cur, new_sweep, new_picked, new_done, out, i + 1
 
+    # while_loop instead of a fixed-length scan: the sweep stops at the
+    # ACTUAL hull size (typically ~2/3 of max_hull for dense clusters;
+    # under vmap the loop runs to the batch's largest hull). Unvisited
+    # out slots keep -1, identical to the scan's post-done emissions.
     picked0 = jnp.zeros(cap, bool).at[start].set(True)
-    (_, _, _, _), out = jax.lax.scan(
-        step, (start, 0.0, picked0, ~jnp.any(valid)), None, length=max_hull - 1
-    )
-    hull_idx = jnp.concatenate([start[None].astype(jnp.int32), out.astype(jnp.int32)])
+    out0 = jnp.full(max_hull - 1, -1, jnp.int32)
+    state = (start, 0.0, picked0, ~jnp.any(valid), out0, jnp.int32(0))
+    *_, out, _ = jax.lax.while_loop(
+        lambda s: (~s[3]) & (s[5] < max_hull - 1),
+        lambda s: step(s), state)
+    hull_idx = jnp.concatenate([start[None].astype(jnp.int32), out])
     hull_valid = hull_idx >= 0
     hull_valid = hull_valid & jnp.concatenate([jnp.any(valid)[None], jnp.ones(max_hull - 1, bool)])
     safe = jnp.clip(hull_idx, 0, cap - 1)

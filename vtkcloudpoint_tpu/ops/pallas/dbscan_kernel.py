@@ -82,13 +82,20 @@ def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
     inf = jnp.float32(cap)
     lab0 = jnp.where(core_col > 0.0, iota_col, inf)    # [cap, 1] f32
 
+    # the core-adjacency mask is loop-invariant: hoist it as an ADDITIVE
+    # mask (0 on core-adjacent entries, 2*cap elsewhere -- labels are
+    # <= cap, so masked entries can never win the min). Each sweep then
+    # costs one add + one min-reduce per element instead of
+    # mul + compare + select + min.
+    mask_add = jnp.where((adj * core_row) > 0.0, 0.0, jnp.float32(2 * cap))
+
     def sweep(lab):
         # min over core neighbors' labels; self included (adj diagonal is 1
         # for valid points), so the running min never loses its own label.
         # Pure VPU min-sweeps, O(core-graph diameter) iterations: a
         # pointer-jumping variant (per-sweep one-hot MXU gather) was probed
         # and stalled Mosaic's compile at cap=1024 -- not worth it.
-        nbr = jnp.where((adj * core_row) > 0.0, _t(lab), inf)
+        nbr = _t(lab) + mask_add
         new = jnp.min(nbr, axis=1, keepdims=True)
         return jnp.where(core_col > 0.0, jnp.minimum(lab, new), inf)
 
