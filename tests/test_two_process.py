@@ -27,13 +27,21 @@ def _free_port():
     return port
 
 
-def _single_process_expected():
+def _single_process_expected(mode):
     bc, bv = make_case()
     mesh = make_mesh(8)
-    out = sharded_blocked_dbscan(
-        mesh, jnp.asarray(bc), jnp.asarray(bv), eps=0.08, min_pts=6,
-        quirks=False, noise_capacity_per_device=128, halo_merge=True,
-        halo_cap=64, max_ids=256, halo_mode="ring")
+    kw = dict(eps=0.08, min_pts=6, quirks=False,
+              noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
+              max_ids=256)
+    if mode == "hier_dist":
+        kw.update(halo_mode="hier", dev_halo_cap=256, halo_cell_cap=128,
+                  noise_recluster="distributed", noise_skin_cap=128,
+                  noise_root_cap=128, noise_cell_cap=128,
+                  split_programs=True)
+    else:
+        kw.update(halo_mode="ring")
+    out = sharded_blocked_dbscan(mesh, jnp.asarray(bc), jnp.asarray(bv),
+                                 **kw)
     lab = np.asarray(out["label"], np.float64)
     pos = np.arange(lab.size, dtype=np.float64).reshape(lab.shape)
     return {
@@ -45,10 +53,13 @@ def _single_process_expected():
     }
 
 
-def test_two_process_matches_single(tmp_path):
+@pytest.mark.parametrize("mode", ["ring", "hier_dist"])
+def test_two_process_matches_single(tmp_path, mode):
     # pytest-timeout is not installed; the communicate(timeout=420) below is
-    # the real guard against a hung worker pair.
-    expected = _single_process_expected()
+    # the real guard against a hung worker pair. The hier_dist mode drives
+    # the tier-5 scale configuration (hierarchical halo union, owner-
+    # sharded noise re-cluster, split programs) across REAL processes.
+    expected = _single_process_expected(mode)
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)       # worker sets its own device count
@@ -56,7 +67,8 @@ def test_two_process_matches_single(tmp_path):
     worker = os.path.join(_REPO, "tests", "two_process_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(tmp_path)],
+            [sys.executable, worker, str(i), str(port), str(tmp_path),
+             mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=_REPO,
         )
@@ -82,7 +94,7 @@ def test_two_process_matches_single(tmp_path):
             pytest.fail(f"worker {i} rc={p.returncode}\n{logs[i][-3000:]}")
     results = []
     for i in range(2):
-        with open(tmp_path / f"out_{i}.json") as f:
+        with open(tmp_path / f"out_{mode}_{i}.json") as f:
             results.append(json.load(f))
     assert results[0] == results[1]
     assert results[0] == expected

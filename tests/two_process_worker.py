@@ -7,6 +7,9 @@ checksums are written to a JSON file for the parent to compare against the
 single-process run.
 
 Usage: python two_process_worker.py <process_id> <coordinator_port> <outdir>
+       [mode]    -- "ring" (default) or "hier_dist" (hierarchical halo union
+                    + owner-sharded distributed noise re-cluster + split
+                    programs: the tier-5 scale configuration)
 """
 import json
 import os
@@ -17,6 +20,7 @@ def main():
     proc_id = int(sys.argv[1])
     port = sys.argv[2]
     outdir = sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "ring"
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
@@ -53,10 +57,17 @@ def main():
     gbc = make_global_blocks(bc[sl], mesh)
     gbv = make_global_blocks(bv[sl], mesh)
 
-    out = sharded_blocked_dbscan(
-        mesh, gbc, gbv, eps=0.08, min_pts=6, quirks=False,
-        noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
-        max_ids=256, halo_mode="ring")
+    kw = dict(eps=0.08, min_pts=6, quirks=False,
+              noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
+              max_ids=256)
+    if mode == "hier_dist":
+        kw.update(halo_mode="hier", dev_halo_cap=256, halo_cell_cap=128,
+                  noise_recluster="distributed", noise_skin_cap=128,
+                  noise_root_cap=128, noise_cell_cap=128,
+                  split_programs=True)
+    else:
+        kw.update(halo_mode="ring")
+    out = sharded_blocked_dbscan(mesh, gbc, gbv, **kw)
 
     # replicated scalars + order-independent label checksums via global sums
     @jax.jit
@@ -74,7 +85,7 @@ def main():
         "sum_labels": float(s0),
         "sum_weighted": float(s1),
     }
-    with open(os.path.join(outdir, f"out_{proc_id}.json"), "w") as f:
+    with open(os.path.join(outdir, f"out_{mode}_{proc_id}.json"), "w") as f:
         json.dump(result, f)
     jax.distributed.shutdown()
 
