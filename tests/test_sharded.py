@@ -314,3 +314,27 @@ def test_sharded_icp_grid_matches_single_device(mesh):
                                rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(t_b), np.asarray(t_s),
                                rtol=0, atol=2e-5)
+
+
+def test_sharded_noise_local_engine_dense_matches_grid(mesh):
+    """The distributed re-cluster's dense-chunked local engine (the TPU
+    path) is bit-equal to the grid local engine (the CPU path)."""
+    rng = np.random.default_rng(17)
+    motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=200,
+                       spread=0.012)
+    n = len(motor)
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), 128)
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), 8, 128)
+    kw = dict(eps=0.06, min_pts=9, quirks=True,
+              noise_capacity_per_device=256, noise_cell_cap=256,
+              noise_recluster="distributed", noise_skin_cap=512,
+              noise_root_cap=512)
+    g = sharded_blocked_dbscan(mesh, bc, bv, noise_local_engine="grid", **kw)
+    d = sharded_blocked_dbscan(mesh, bc, bv, noise_local_engine="dense",
+                               **kw)
+    np.testing.assert_array_equal(np.asarray(g["label"]),
+                                  np.asarray(d["label"]))
+    assert int(g["n_total"]) == int(d["n_total"])
+    assert int(d["noise_overflow"]) == 0

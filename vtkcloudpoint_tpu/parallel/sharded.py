@@ -286,6 +286,7 @@ def sharded_blocked_dbscan(
     noise_cell_cap: int = 32,
     noise_skin_cap: int = 1024,      # "distributed": boundary-noise buffer
     noise_root_cap: int = 4096,      # "distributed": per-device root list
+    noise_local_engine: str = "auto",  # "distributed": grid|dense|auto
     halo_mode: str = "ring",         # "ring" | "gather" | "hier"
     dev_halo_cap: int = 512,         # "hier": device-boundary skin capacity
     halo_cell_cap: int = 64,         # "hier": grid cells in the local stage
@@ -418,6 +419,7 @@ def sharded_blocked_dbscan(
                 root_cap=noise_root_cap, cell_cap=noise_cell_cap,
                 max_rounds=fixpoint_max_rounds,
                 cell_table_bits=cell_table_bits,
+                local_engine=noise_local_engine,
             )
             noise_ovf = noise_ovf + novf2
             n_total = cf_seed + n_new
