@@ -126,20 +126,28 @@ def assign_blocks_balanced(motor, valid, block_capacity: int):
 
 
 @partial(jax.jit, static_argnames=("capacity", "max_blocks"))
-def partition_gather_sorted(motor, valid, capacity: int, max_blocks: int):
+def partition_gather_sorted(motor, valid, capacity: int, max_blocks: int,
+                            coords=None):
     """assign_blocks_balanced + gather_blocks_ordered in ONE multi-operand
-    sort: the Morton code carries (x, y, index) as sort payloads, so the
-    blocked coordinate layout falls out of the sort with NO gather.
+    sort: the Morton code carries (coords..., index) as sort payloads, so
+    the blocked coordinate layout falls out of the sort with NO gather.
 
     On TPU the separate path costs an argsort (~1 ms at 500k) plus a
     ~1M-row random gather (~2 ms); lax.sort moves the same rows in
     ~0.4 ms (probe2/3_r04). Identical outputs to the two-step path
-    (tested): (block_coords [B, cap, 2], block_valid [B, cap],
+    (tested): (block_coords [B, cap, D], block_valid [B, cap],
     point_index [B, cap] i32 with -1 padding, overflow [1]).
+
+    ``coords`` (default: motor) is the [N, D] coordinate payload to block
+    -- pass the metric coords when they differ from the motor coords the
+    Morton partition is computed on (e.g. 3D xyz under l2_xyz).
     """
+    if coords is None:
+        coords = motor
     n = motor.shape[0]
     x = motor[:, 0]
     y = motor[:, 1]
+    d = coords.shape[1]
     xmin, ymin, xmax, ymax = _extents(motor, valid)
     sx = jnp.clip((x - xmin) / jnp.maximum(xmax - xmin, 1e-30), 0.0, 1.0)
     sy = jnp.clip((y - ymin) / jnp.maximum(ymax - ymin, 1e-30), 0.0, 1.0)
@@ -149,7 +157,9 @@ def partition_gather_sorted(motor, valid, capacity: int, max_blocks: int):
     code = jnp.where(valid, code, jnp.uint32(0xFFFFFFFF))
     idx = jnp.arange(n, dtype=jnp.int32)
     # two keys (code, index) = stable order without is_stable's 2.5x cost
-    _, si, sx_, sy_ = jax.lax.sort((code, idx, x, y), num_keys=2)
+    out = jax.lax.sort(
+        (code, idx) + tuple(coords[:, k] for k in range(d)), num_keys=2)
+    si = out[1]
     total = max_blocks * capacity
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
@@ -161,10 +171,10 @@ def partition_gather_sorted(motor, valid, capacity: int, max_blocks: int):
     slot_valid = jnp.arange(total) < jnp.minimum(n_valid, total)
     pidx = jnp.where(slot_valid, fit(si, 0), -1).reshape(
         max_blocks, capacity)
-    bx = jnp.where(slot_valid, fit(sx_, 0.0), 0.0)
-    by = jnp.where(slot_valid, fit(sy_, 0.0), 0.0)
-    block_coords = jnp.stack([bx, by], axis=-1).reshape(
-        max_blocks, capacity, 2)
+    cols = [jnp.where(slot_valid, fit(out[2 + k], 0.0), 0.0)
+            for k in range(d)]
+    block_coords = jnp.stack(cols, axis=-1).reshape(
+        max_blocks, capacity, d)
     overflow = jnp.maximum(n_valid - total, 0)[None]
     return block_coords, pidx >= 0, pidx, overflow
 

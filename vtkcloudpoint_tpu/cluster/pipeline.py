@@ -18,8 +18,7 @@ from ..ops.metrics import coords_for_metric
 from ..ops.segment import cluster_stats, bucket_payload_by_cluster
 from ..ops.geometry import cluster_shapes
 from .blocks import (
-    assign_blocks_reference, assign_blocks_balanced, gather_blocks,
-    gather_blocks_ordered,
+    assign_blocks_reference, gather_blocks, partition_gather_sorted,
 )
 from .dbscan import dbscan_blocks_dispatch
 from .fusion import merge_blocks, merge_centroid_clusters
@@ -75,10 +74,11 @@ def cluster_scan(
             coords, part["block"], valid, max_blocks, cc.block_capacity
         )
     else:
-        part = assign_blocks_balanced(motor, valid, cc.block_capacity)
+        # one Morton-keyed multi-operand sort = partition + blocked layout
+        # (no argsort + row gather; see blocks.partition_gather_sorted)
         block_coords, block_valid, point_index, overflow = (
-            gather_blocks_ordered(
-                coords, part["order"], valid, max_blocks, cc.block_capacity
+            partition_gather_sorted(
+                motor, valid, cc.block_capacity, max_blocks, coords=coords
             )
         )
 
