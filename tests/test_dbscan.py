@@ -140,3 +140,30 @@ def test_dense_chunked_matches_padded():
         assert int(a["n_clusters"]) == int(b["n_clusters"])
         np.testing.assert_array_equal(np.asarray(a["core"]),
                                       np.asarray(b["core"]))
+
+
+def test_dense_chunked_components_match_grid():
+    """min_pts=1 components (the _hier_union stage-1 contract): the
+    chunked-dense engine and the grid engine agree label-for-label, so the
+    TPU stage-1 dispatch in parallel.sharded is a drop-in."""
+    import numpy as np
+    import jax.numpy as jnp
+    from vtkcloudpoint_tpu.cluster.dbscan import dbscan_dense_chunked
+    from vtkcloudpoint_tpu.cluster.grid import dbscan_grid
+
+    rng = np.random.default_rng(12)
+    for metric in ("l1_motor", "l2_xy"):
+        n = 600
+        pts = np.concatenate([
+            np.stack([np.linspace(0, 1, 200), np.zeros(200)], 1)
+            + 0.002 * rng.standard_normal((200, 2)),
+            rng.uniform(0, 1, (n - 200, 2)),
+        ]).astype(np.float32)
+        coords = jnp.asarray(pts)
+        valid = jnp.asarray(rng.random(n) < 0.9)
+        g = dbscan_grid(coords, valid, 0.01, 1, metric, cell_cap=64)
+        d = dbscan_dense_chunked(coords, valid, 0.01, 1, metric, chunk=128)
+        assert int(g["overflow"]) == 0
+        np.testing.assert_array_equal(np.asarray(g["label"]),
+                                      np.asarray(d["label"]))
+        assert int(g["n_clusters"]) == int(d["n_clusters"])

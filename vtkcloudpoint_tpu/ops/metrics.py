@@ -51,7 +51,9 @@ def pairwise(a, b, metric: str):
         return pairwise_l1(a, b)
     if metric == "signed_sum_xy":
         return pairwise_signed_sum(a, b)
-    if metric == "l2_xyz":
+    if metric in ("l2_xyz", "l2_xy"):
+        # dimension-agnostic Euclidean; "l2_xy" is the grid engine's name
+        # for the 2D case (cluster.grid.grid_metric)
         return pairwise_l2(a, b)
     raise ValueError(f"unknown metric {metric!r}")
 

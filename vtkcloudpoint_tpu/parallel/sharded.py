@@ -180,10 +180,26 @@ def _hier_union(hx, hlab, hval, n_used, eps: float,
     la_idx = jnp.clip(hlab, 0, max_ids - 1)
     use = hval & (hlab > 0)
 
-    # ---- stage 1: local components via grid hash ----
-    comp = dbscan_grid(hx, use, eps, 1, metric, cell_cap=cell_cap)
+    # ---- stage 1: local components of the device shell ----
+    # engine dispatch mirrors the noise re-cluster policy: the grid
+    # engine's stencil candidates are random gathers (~10M/s on TPU), so
+    # up to ~128k shell points the chunked-dense recompute is the faster
+    # TPU form (O(hn^2) VPU work per sweep); past that, and on CPU
+    # hosts, the grid's linear work wins. Both are exact; dense has no
+    # cell-cap truncation so contributes 0 overflow.
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and hn <= 131072:
+        from ..cluster.dbscan import dbscan_dense_chunked
+
+        comp = dbscan_dense_chunked(hx, use, eps, 1, metric)
+        grid_ovf = jax.lax.psum(jnp.int32(0), axis)
+    else:
+        comp = dbscan_grid(hx, use, eps, 1, metric, cell_cap=cell_cap)
+        grid_ovf = jax.lax.psum(comp["overflow"], axis)
     clab = comp["label"]                       # [hn] 1..K, 0 invalid
-    grid_ovf = jax.lax.psum(comp["overflow"], axis)
 
     def local_round(state):
         idm, _, it = state
