@@ -338,3 +338,34 @@ def test_sharded_noise_local_engine_dense_matches_grid(mesh):
                                   np.asarray(d["label"]))
     assert int(g["n_total"]) == int(d["n_total"])
     assert int(d["noise_overflow"]) == 0
+
+
+def test_sharded_centroid_merge_matches_single(mesh):
+    """C11 at scale: the psum'd sharded centroid merge equals applying
+    merge_centroid_clusters to the same labels single-device."""
+    from vtkcloudpoint_tpu.cluster.fusion import merge_centroid_clusters
+    from vtkcloudpoint_tpu.ops.segment import cluster_means
+
+    rng = np.random.default_rng(19)
+    motor = make_blobs(rng, n_clusters=8, pts_per=40, noise=40, spread=0.012)
+    n = len(motor)
+    valid = np.ones(n, bool)
+    part = assign_blocks_balanced(jnp.asarray(motor), jnp.asarray(valid), 128)
+    bc, bv, pidx, _ = gather_blocks(jnp.asarray(motor), part["block"],
+                                    jnp.asarray(valid), 8, 128)
+    kw = dict(eps=0.06, min_pts=9, quirks=False,
+              noise_capacity_per_device=256, max_ids=256)
+    base = sharded_blocked_dbscan(mesh, bc, bv, **kw)
+    merged = sharded_blocked_dbscan(mesh, bc, bv, centroid_merge=True,
+                                    merge_eps=0.4, **kw)
+    # single-device reference: centroids of the base labels, then the merge
+    lab_flat = jnp.asarray(base["label"]).reshape(-1)
+    coords_flat = bc.reshape(-1, 2)
+    vflat = bv.reshape(-1) & (lab_flat > 0)
+    cen, cnt = cluster_means(coords_flat, lab_flat, vflat, 256)
+    mg = merge_centroid_clusters(cen[:, :2], cnt > 0, 0.4)
+    want = np.asarray(mg["remap"])[
+        np.clip(np.asarray(base["label"]), 0, 255)]
+    np.testing.assert_array_equal(np.asarray(merged["label"]), want)
+    assert int(merged["n_total"]) == int(mg["n_after"])
+    assert int(merged["n_total"]) < int(base["n_total"])

@@ -333,7 +333,16 @@ def merge_centroid_clusters(
     kp1 = centers_xy.shape[0]
     ids = jnp.arange(kp1, dtype=jnp.int32)
     valid = center_valid & (ids > 0)
-    comp = dbscan_padded(centers_xy, valid, merge_eps, merge_min_pts, "l1_motor")
+    if kp1 > 8192:
+        # the stored [K, K] adjacency is 17 GB at the tier-5 id-table
+        # width (64k); the tile-recompute engine is bit-identical
+        from .dbscan import dbscan_dense_chunked
+
+        comp = dbscan_dense_chunked(centers_xy, valid, merge_eps,
+                                    merge_min_pts, "l1_motor")
+    else:
+        comp = dbscan_padded(centers_xy, valid, merge_eps, merge_min_pts,
+                             "l1_motor")
     glab = comp["label"]  # group label per centroid, 0 = unmerged
     # target old id per group: min member id (the group's first centroid,
     # Tools.cs:594-606); unmerged centroids target themselves

@@ -303,6 +303,9 @@ def sharded_blocked_dbscan(
     noise_skin_cap: int = 1024,      # "distributed": boundary-noise buffer
     noise_root_cap: int = 4096,      # "distributed": per-device root list
     noise_local_engine: str = "auto",  # "distributed": grid|dense|auto
+    centroid_merge: bool = False,    # C11 at scale: merge by centroid dist
+    merge_eps: float = 0.0,
+    merge_min_pts: int = 2,
     halo_mode: str = "ring",         # "ring" | "gather" | "hier"
     dev_halo_cap: int = 512,         # "hier": device-boundary skin capacity
     halo_cell_cap: int = 64,         # "hier": grid cells in the local stage
@@ -516,6 +519,36 @@ def sharded_blocked_dbscan(
                 )
             out_labels = apply_halo_merge(out_labels, uni["remap"])
             n_total = uni["n_after"]
+
+        if centroid_merge:
+            # C11 at scale (Tools.cs:580-621): psum the per-id centroid
+            # moments -- the [max_ids, 3] table is tiny on ICI -- and run
+            # the reference's centroid DBSCAN replicated. Deterministic
+            # per mesh; vs the single-device path the psum summation
+            # order can differ in float, so the contract is tolerance,
+            # not bit-parity (marginal eps-boundary pairs could differ).
+            # Centroids come from the first two METRIC-coordinate
+            # components (what the block layout carries); the reference
+            # merges on cartesian X/Y, which coincides under l2 metrics
+            # -- for exact C11 parity under l1_motor, run the
+            # single-device merge on the xyz centroid table instead.
+            from ..cluster.fusion import merge_centroid_clusters
+
+            w = (out_labels > 0) & valid_loc
+            seg = jnp.where(w, out_labels, max_ids).reshape(-1)
+            cflat2 = coords_loc.reshape(-1, D)
+            moments = jnp.concatenate(
+                [jnp.where(w.reshape(-1)[:, None], cflat2[:, :2], 0.0),
+                 w.reshape(-1, 1).astype(cflat2.dtype)], axis=1)
+            sums = jax.ops.segment_sum(moments, seg,
+                                       num_segments=max_ids + 1)[:max_ids]
+            sums = jax.lax.psum(sums, axis)
+            cnt = sums[:, 2]
+            cen = sums[:, :2] / jnp.maximum(cnt, 1.0)[:, None]
+            mg = merge_centroid_clusters(cen, cnt > 0, merge_eps,
+                                         merge_min_pts)
+            out_labels = mg["remap"][jnp.clip(out_labels, 0, max_ids - 1)]
+            n_total = mg["n_after"]
 
         return out_labels, n_total[None], noise_ovf[None], halo_ovf[None]
 
