@@ -153,9 +153,13 @@ def main():
         emit(**rec)
         # analytic per-device collective payload for THIS config, so the
         # real-pod expectation is stated: ICI moves these bytes, however
-        # fast the virtual-mesh host happens to be
-        kmax = CAP + 1
-        counts_gather = B * kmax * 4
+        # fast the virtual-mesh host happens to be.
+        # The fusion renumber now exchanges ONE kept-count int32 per device
+        # (block_keep_rules is per-block-local; offsets are a scalar prefix
+        # sum) -- the r4 design's [B, kmax] counts all_gather was
+        # B*(CAP+1)*4 bytes/device = O(world points), 40 MB/device = 73%
+        # of all collective bytes at the 10M record.
+        counts_gather = ndev * 4
         noise_bytes = (
             # distributed: distinct-cell lists + skin (coords+gid+core+lab
             # per round) + root lists

@@ -85,15 +85,15 @@ def _block_label_counts(block_labels, block_valid, kmax: int,
     return out.reshape(-1, kmax)[:B]
 
 
-def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
-    """CompleteWork3 cull + global-renumber rules from per-block label
-    counts [B, kmax] (kmax = cap + 1; column 0 = noise run).
+def block_keep_rules(counts, min_cluster_size: int, quirks: bool):
+    """CompleteWork3 cull rules from per-block label counts [B, kmax]
+    (kmax = cap + 1; column 0 = noise run) -> keep [B, cap] bool.
 
-    Returns (keep [B, cap] bool, gid [B, cap] i32 -- the global id at each
-    kept (block, local-id) slot, n_kept i32). ONE implementation shared by
-    the single-device merge (merge_blocks) and the sharded path
-    (parallel.sharded.sharded_blocked_dbscan) so the quirk rules cannot
-    drift. Quirk semantics documented in the module docstring.
+    Every rule is PER-BLOCK-LOCAL (each row depends only on its own
+    counts), which is what lets the sharded path evaluate it on a device's
+    own count rows with no cross-device data (parallel.sharded only
+    exchanges per-device kept-count scalars for the renumber offsets).
+    Quirk semantics documented in the module docstring.
     """
     B, kmax = counts.shape
     present = counts[:, 1:] > 0  # [B, cap] run exists for local id c=1..cap
@@ -110,36 +110,68 @@ def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
             n_run + 1,
             n_run,
         )
-        keep = present & (is_last | (eff_len > min_cluster_size))
-    else:
-        keep = present & (n_run > min_cluster_size)
+        return present & (is_last | (eff_len > min_cluster_size))
+    return present & (n_run > min_cluster_size)
 
+
+def block_keep_renumber(counts, min_cluster_size: int, quirks: bool):
+    """Cull + global-renumber from per-block label counts [B, kmax].
+
+    Returns (keep [B, cap] bool, gid [B, cap] i32 -- the global id at each
+    kept (block, local-id) slot, n_kept i32). ONE implementation shared by
+    the single-device merge (merge_blocks) and the sharded path
+    (parallel.sharded.sharded_blocked_dbscan applies block_keep_rules to
+    its own rows + a scalar prefix offset -- identical by construction
+    since the global renumber is a plain prefix sum in device-major block
+    order) so the quirk rules cannot drift.
+    """
+    B, kmax = counts.shape
+    keep = block_keep_rules(counts, min_cluster_size, quirks)
     # global ids in (block, local id) lex order
     gid = jnp.cumsum(keep.reshape(-1).astype(jnp.int32)).reshape(B, kmax - 1)
     n_kept = gid.reshape(-1)[-1]
     return keep, gid, n_kept
 
 
+def gid_bound(n_blocks: int, cap: int, min_cluster_size: int,
+              quirks: bool) -> int:
+    """Static upper bound on the largest global cluster id the cull can
+    keep: every kept run has > min_cluster_size points, except (quirks)
+    the last run of each block which can be arbitrarily small -- at most
+    one extra id per block. Used to guard f32-exactness of the one-hot
+    matmul id application (ADVICE r4 medium: the old Bl*cap/4 guard
+    silently assumed min_cluster_size >= 3)."""
+    per_run = max(min_cluster_size + 1, 1)
+    bound = n_blocks * cap // per_run
+    return bound + n_blocks if quirks else bound
+
+
 def apply_block_gid(block_labels, block_valid, keep, gid,
-                    row_chunk: int = 64):
+                    row_chunk: int = 64, max_gid: int = None):
     """Point-level global ids [Bl, cap] from the keep/renumber tables.
 
     ``keep``/``gid`` rows must correspond to ``block_labels`` rows (the
-    sharded path slices its device's rows out of the global tables first).
+    sharded path computes its device's rows locally + a prefix offset).
     Culled or noise points map to 0.
 
     TPU: a batched one-hot matmul -- out[b, c] = sum_k 1[label==k]*gid[b,k]
     rides the MXU at 1.09 ms vs 7.53 ms for the flat per-point gather
     (probe2_r04; random gathers from a [B*kmax] table run ~130M/s on v5e).
     Exact while gid < 2^24 (f32 products are the original int values);
-    guarded by a trace-time assert, with the gather as the big-id/CPU
-    path. Elsewhere: the flat 1D gather (2D advanced indexing lowers to a
-    slow general-gather on TPU, and CPU gathers are already O(n)).
+    guarded by ``max_gid`` -- a static bound on the largest gid value any
+    row can hold (callers derive it from min_cluster_size via gid_bound();
+    the sharded path passes the GLOBAL bound since its gids carry a
+    cross-device offset). None falls back to the conservative local bound
+    gid_bound(Bl, cap, 3, True). Beyond 2^24 the flat-gather path takes
+    over (exact at any id width). Elsewhere: the flat 1D gather (2D
+    advanced indexing lowers to a slow general-gather on TPU, and CPU
+    gathers are already O(n)).
     """
     Bl, cap = block_labels.shape
     kmax = cap + 1
-    if _on_tpu() and Bl * cap < 2**24 * 4:
-        # kept-cluster count <= points/(min_size+1) <= Bl*cap/4 < 2^24
+    if max_gid is None:
+        max_gid = gid_bound(Bl, cap, 3, True)
+    if _on_tpu() and max_gid < 2**24:
         gk = jnp.where(keep, gid, 0).astype(jnp.float32)
 
         def step(args):
@@ -245,7 +277,9 @@ def merge_blocks(
     # _block_label_counts -- the sort+searchsorted variant lost 14x)
     counts = _block_label_counts(block_labels, block_valid, kmax)
     keep, gid, n_kept = block_keep_renumber(counts, min_cluster_size, quirks)
-    point_gid = apply_block_gid(block_labels, block_valid, keep, gid)
+    point_gid = apply_block_gid(
+        block_labels, block_valid, keep, gid,
+        max_gid=gid_bound(B, cap, min_cluster_size, quirks))
 
     # ---- noise re-cluster (FrmMain.cs:1507-1520) ----
     noise_mask = block_valid & (point_gid == 0)
@@ -262,11 +296,19 @@ def merge_blocks(
         #   tiles per sweep on the VPU. The grid engine's stencil gathers
         #   run ~10M/s on TPU and took SECONDS at T=65k (tier-3 first
         #   attempt); dense recompute is a few ms of vector work;
-        # - larger on CPU: the grid engine (linear work beats T^2 there).
+        # - larger on CPU: the grid engine (linear work beats T^2 there)
+        #   -- unless the metric has no grid form (signed_sum_xy), where
+        #   auto must never raise: chunked dense serves any metric
+        #   (ADVICE r4 low #2).
         if noise_capacity <= 8192:
             noise_engine = "dense"
+        elif _on_tpu():
+            noise_engine = "dense_chunked"
         else:
-            noise_engine = "dense_chunked" if _on_tpu() else "grid"
+            from .grid import grid_metric
+
+            gm = grid_metric(metric, block_coords.shape[-1])
+            noise_engine = "grid" if gm is not None else "dense_chunked"
     if noise_engine == "grid":
         from .grid import dbscan_grid, grid_metric
 

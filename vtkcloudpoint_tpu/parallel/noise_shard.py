@@ -50,9 +50,9 @@ def _grid_sorted(coords, valid, eps, cell_cap: int, metric: str):
     """Sorted-cell candidate structure over a padded set (the dbscan_grid
     machinery, factored for querying with EXTERNAL per-point values).
 
-    Returns (order, my_orig, candidate_fn, overflow) where
+    Returns (order, candidate_fn, overflow) where
     candidate_fn(chunk_positions) -> (cand sorted-indices [c, 3^D*cap],
-    ok mask, dist) for sorted positions.
+    hit mask) for sorted positions.
     """
     from itertools import product
 
