@@ -29,6 +29,9 @@ MIN_PTS = int(os.environ.get("BENCH_MIN_PTS", 8))
 HALO_MODE = os.environ.get("BENCH_HALO_MODE", "ring")  # ring|gather|hier
 DEV_HALO_CAP = int(os.environ.get("BENCH_DEV_HALO_CAP", 512))
 HALO_CELL_CAP = int(os.environ.get("BENCH_HALO_CELL_CAP", 64))
+# hier stage-3 skin exchange: "owner" (all_to_all by cell ownership,
+# per-device payload O(own boundary), flat across the sweep) | "gather"
+SKIN_EXCHANGE = os.environ.get("BENCH_SKIN_EXCHANGE", "owner")
 # split DBSCAN / fusion into two programs: mandatory for big runs on the
 # oversubscribed CPU validation host (defeats the ~2-min XLA:CPU collective
 # rendezvous watchdog -- program 2 reaches its first all_gather in ms)
@@ -111,12 +114,17 @@ def main():
                              if k != "ball_points"},
                  ball_points=round(caps["ball_points"], 1))
 
+        R = 5                      # 2D half-stencil routes per skin point
+        skin_dest_cap = max(64, (-(-2 * R * dev_halo_cap // ndev) + 7)
+                            // 8 * 8)
+
         def run():
             return sharded_blocked_dbscan(
                 mesh, bc, bv, eps=EPS, min_pts=MIN_PTS, quirks=False,
                 noise_capacity_per_device=noise_cap, halo_merge=True,
                 max_ids=max_ids, halo_cap=halo_cap, halo_mode=HALO_MODE,
                 dev_halo_cap=dev_halo_cap, halo_cell_cap=cell_cap,
+                skin_exchange=SKIN_EXCHANGE, skin_dest_cap=skin_dest_cap,
                 noise_recluster=NOISE_MODE, noise_skin_cap=noise_skin_cap,
                 noise_root_cap=noise_root_cap, dbscan_chunk=DB_CHUNK,
                 split_programs=SPLIT)
@@ -141,6 +149,10 @@ def main():
                    # that visible in the record
                    host_cores=os.cpu_count(),
                    halo_mode=HALO_MODE, noise_mode=NOISE_MODE,
+                   skin_exchange=(SKIN_EXCHANGE if HALO_MODE == "hier"
+                                  else None),
+                   skin_dest_cap=(skin_dest_cap if HALO_MODE == "hier"
+                                  and SKIN_EXCHANGE == "owner" else None),
                    split_programs=SPLIT,
                    n_clusters=int(out["n_total"]),
                    noise_overflow=int(out["noise_overflow"]),
@@ -169,11 +181,17 @@ def main():
             if NOISE_MODE == "distributed"
             # replicated: every device's packed noise buffer, gathered
             else ndev * noise_cap * (2 * 4 + 1))
-        halo_bytes = (
-            (max(4096, BLOCKS_PER_DEV * CAP // 4) * 8
-             + dev_halo_cap * (2 * 4 + 4 + 1) * (1 + ndev))
-            if HALO_MODE == "hier"
-            else ndev * BLOCKS_PER_DEV * halo_cap * (2 * 4 + 4 + 1))
+        if HALO_MODE == "hier":
+            cells_bytes = max(4096, BLOCKS_PER_DEV * CAP // 4) * 8
+            if SKIN_EXCHANGE == "owner":
+                # all_to_all: sent == received == ndev x dest_cap slots
+                # ~= 2 x R x dev_halo_cap -- FLAT in the mesh size
+                skin_bytes = ndev * skin_dest_cap * (2 * 4 + 4 + 1)
+            else:
+                skin_bytes = dev_halo_cap * (2 * 4 + 4 + 1) * (1 + ndev)
+            halo_bytes = cells_bytes + skin_bytes
+        else:
+            halo_bytes = ndev * BLOCKS_PER_DEV * halo_cap * (2 * 4 + 4 + 1)
         emit(metric="tier5_collective_bytes_per_device",
              devices=ndev, points=n,
              counts_gather=counts_gather, noise=noise_bytes,
