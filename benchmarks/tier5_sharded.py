@@ -127,12 +127,26 @@ def main():
                 skin_exchange=SKIN_EXCHANGE, skin_dest_cap=skin_dest_cap,
                 noise_recluster=NOISE_MODE, noise_skin_cap=noise_skin_cap,
                 noise_root_cap=noise_root_cap, dbscan_chunk=DB_CHUNK,
-                split_programs=SPLIT)
+                split_programs=SPLIT,
+                checkpoint_dir=os.environ.get("BENCH_CKPT_DIR") or None)
 
+        ckpt_dir = os.environ.get("BENCH_CKPT_DIR") or None
+
+        def clear_ckpt():
+            # timed reps must recompute program 1 from scratch: resuming
+            # from the warmup's checkpoint would time the fusion alone and
+            # report a fiction. (The checkpoint still protects each rep
+            # MID-run -- a crash resumes at the program boundary.)
+            if ckpt_dir and os.path.isdir(ckpt_dir):
+                import shutil
+                shutil.rmtree(ckpt_dir)
+
+        clear_ckpt()
         out = run()
         _ = np.asarray(out["label"][:1, :8])
         ts = []
         for _ in range(REPS):
+            clear_ckpt()
             t0 = time.perf_counter()
             out = run()
             _ = np.asarray(out["label"][:1, :8])

@@ -10,6 +10,11 @@ Usage: python two_process_worker.py <process_id> <coordinator_port> <outdir>
        [mode]    -- "ring" (default) or "hier_dist" (hierarchical halo union
                     + owner-sharded distributed noise re-cluster + split
                     programs: the tier-5 scale configuration)
+       [phase]   -- with mode "hier_dist_ckpt": "kill" runs program 1, saves
+                    the split-boundary checkpoint, then dies (os._exit 77 --
+                    simulating a crash at the persistence point); "resume"
+                    asserts the checkpoint exists and completes the job
+                    from it (VERDICT r4 item 8 kill-resume criterion)
 """
 import json
 import os
@@ -21,6 +26,7 @@ def main():
     port = sys.argv[2]
     outdir = sys.argv[3]
     mode = sys.argv[4] if len(sys.argv) > 4 else "ring"
+    phase = sys.argv[5] if len(sys.argv) > 5 else None
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=4"
@@ -60,13 +66,33 @@ def main():
     kw = dict(eps=0.08, min_pts=6, quirks=False,
               noise_capacity_per_device=128, halo_merge=True, halo_cap=64,
               max_ids=256)
-    if mode == "hier_dist":
+    if mode.startswith("hier_dist"):
         kw.update(halo_mode="hier", dev_halo_cap=256, halo_cell_cap=128,
                   noise_recluster="distributed", noise_skin_cap=128,
                   noise_root_cap=128, noise_cell_cap=128,
                   split_programs=True)
     else:
         kw.update(halo_mode="ring")
+    if mode == "hier_dist_ckpt":
+        ckpt_dir = os.path.join(outdir, "ckpt")
+        kw.update(checkpoint_dir=ckpt_dir)
+        import vtkcloudpoint_tpu.utils.checkpoint as ck
+
+        if phase == "kill":
+            # die the instant the split-boundary checkpoint is durable --
+            # the exact crash the checkpoint exists to survive
+            orig_save = ck.CheckpointManager.save
+
+            def save_and_die(self, step, tree):
+                orig_save(self, step, tree)
+                os._exit(77)
+
+            ck.CheckpointManager.save = save_and_die
+        elif phase == "resume":
+            mgr = ck.CheckpointManager(
+                os.path.join(ckpt_dir, f"p{proc_id}"), keep=1)
+            assert mgr.latest_step() is not None, \
+                "resume phase found no checkpoint"
     out = sharded_blocked_dbscan(mesh, gbc, gbv, **kw)
 
     # replicated scalars + order-independent label checksums via global sums

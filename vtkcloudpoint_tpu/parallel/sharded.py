@@ -507,6 +507,7 @@ def sharded_blocked_dbscan(
     dbscan_chunk: int = 64,          # per-device blocks in flight (jnp path)
     cell_table_bits: int = 24,       # halo/skin occupancy-table size (2^bits)
     split_programs: bool = False,    # run DBSCAN and fusion as two programs
+    checkpoint_dir: str = None,      # split_programs: persist program-1 out
 ):
     """Distributed blocked DBSCAN + fusion.
 
@@ -760,16 +761,69 @@ def sharded_blocked_dbscan(
         return out_labels, n_total[None], noise_ovf[None], halo_ovf[None]
 
     if split_programs:
-        # program 1: collective-free per-device DBSCAN (device-resident out)
-        labels, core = jax.jit(
-            shard_map(
-                local_dbscan,
-                mesh=mesh,
-                in_specs=(P(axis), P(axis)),
-                out_specs=(P(axis), P(axis)),
-                check_vma=False,
-            )
-        )(block_coords, block_valid)
+        # The program boundary is a natural persistence point (VERDICT r4
+        # item 8): a 10M-point virtual-mesh run costs ~19 host-minutes of
+        # per-device DBSCAN before the fusion, and a watchdog kill or OOM
+        # loses it all. With checkpoint_dir set, each PROCESS saves its
+        # local label/core rows after program 1 and a rerun with the same
+        # configuration resumes straight into the fusion.
+        labels = core = None
+        mgr = None
+        if checkpoint_dir is not None and B % jax.process_count() == 0:
+            import os as _os
+
+            import numpy as _np
+
+            from ..utils.checkpoint import CheckpointManager
+            from .distributed import make_global_blocks
+
+            nproc = jax.process_count()
+            bproc = B // nproc
+            fp = dict(B=B, cap=cap, eps=float(eps), min_pts=int(min_pts),
+                      metric=metric, backend=backend, nproc=nproc)
+            mgr = CheckpointManager(
+                _os.path.join(checkpoint_dir,
+                              f"p{jax.process_index()}"), keep=1)
+            import zlib as _zlib
+
+            like = {"label": _np.zeros((bproc, cap), _np.int32),
+                    "core": _np.zeros((bproc, cap), bool),
+                    "fp": _np.zeros(1, _np.int64)}
+            # stable config fingerprint (python hash() is seed-randomized
+            # across runs, which would defeat every resume)
+            fpv = _np.asarray(
+                [_zlib.crc32(repr(sorted(fp.items())).encode())], _np.int64)
+            try:
+                tree, _ = mgr.restore_latest(like)
+            except Exception:
+                tree = None
+            if (tree is not None
+                    and tree["label"].shape == (bproc, cap)
+                    and tree["fp"].shape == fpv.shape
+                    and bool((tree["fp"] == fpv).all())):
+                labels = make_global_blocks(tree["label"], mesh, axis)
+                core = make_global_blocks(tree["core"], mesh, axis)
+        if labels is None:
+            # program 1: collective-free per-device DBSCAN
+            labels, core = jax.jit(
+                shard_map(
+                    local_dbscan,
+                    mesh=mesh,
+                    in_specs=(P(axis), P(axis)),
+                    out_specs=(P(axis), P(axis)),
+                    check_vma=False,
+                )
+            )(block_coords, block_valid)
+            if mgr is not None:
+                def _local_rows(garr):
+                    shards = sorted(
+                        garr.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+                    return _np.concatenate(
+                        [_np.asarray(s.data) for s in shards], axis=0)
+
+                mgr.save(0, {"label": _local_rows(labels),
+                             "core": _local_rows(core), "fp": fpv})
         # program 2: fusion -- first collective fires right after launch
         out_labels, n_total, noise_ovf, halo_ovf = jax.jit(
             shard_map(
