@@ -93,7 +93,13 @@ def test_two_process_kill_resume_checkpoint(tmp_path):
                 "unimplemented" in logs[i].lower()
                 or "not available" in logs[i].lower()):
             pytest.skip(f"jax.distributed unsupported: {logs[i][-300:]}")
-        assert p.returncode == 77, (
+        # each worker waits for the PEER's checkpoint before dying, so by
+        # the time anyone exits both checkpoints are durable -- but the
+        # peer's exit can still trip this worker's background coordination
+        # FATAL handler (rc 1) a hair before its own os._exit(77). Either
+        # way is the crash being simulated; the real gate is the
+        # checkpoint-exists assert below + the resume equality.
+        assert p.returncode in (77, 1), (
             f"kill phase worker {i} rc={p.returncode}\n{logs[i][-3000:]}")
     for i in range(2):
         assert os.path.exists(

@@ -80,11 +80,23 @@ def main():
 
         if phase == "kill":
             # die the instant the split-boundary checkpoint is durable --
-            # the exact crash the checkpoint exists to survive
+            # the exact crash the checkpoint exists to survive. Wait for
+            # the PEER's checkpoint first: the leader exiting early tears
+            # down the coordination service and the still-computing peer
+            # gets terminated (rc 1) before its own save lands (program 1
+            # is collective-free, so this wait involves no collective).
+            import time as _time
+
             orig_save = ck.CheckpointManager.save
+            peer_idx = os.path.join(
+                ckpt_dir, f"p{1 - proc_id}", "index.json")
 
             def save_and_die(self, step, tree):
                 orig_save(self, step, tree)
+                for _ in range(600):
+                    if os.path.exists(peer_idx):
+                        break
+                    _time.sleep(0.5)
                 os._exit(77)
 
             ck.CheckpointManager.save = save_and_die
