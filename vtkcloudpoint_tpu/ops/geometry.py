@@ -28,6 +28,13 @@ import numpy as _np
 BIG = 1e30
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def pseudo_angle(x1, y1, x2, y2):
     """Reference AngleValue (Geometry.cs:210-246): monotone angle surrogate
     t*90 in [0, 360); identical points map to 40 (= 360/9)."""
@@ -343,6 +350,179 @@ def min_enclosing_circle(hull_pts, hull_valid, tri_chunk: int = 512):
     return bcx, bcy, radius
 
 
+def hull_prune_pack(pts, valid, cap_out: int, m: int = 16):
+    """Exact hull-candidate reduction (Akl-Toussaint): the extreme points
+    in ``m`` fixed directions form a convex polygon; any point STRICTLY
+    inside it is strictly inside the convex hull and can never be a hull
+    vertex. Survivors (boundary-or-outside points) pack into a
+    [cap_out, 2] block for the gift-wrap sweep, whose per-step cost is
+    O(width) -- at the bench shape this cuts the sweep width 1024 -> 192
+    (probe_shapes_r05: hull 6.73 -> 1.99 ms, shapes_x2 10.91 -> 5.87 ms).
+
+    Exactness: pruning only removes provably-interior points; boundary
+    points (cross == 0) and all m-gon vertices survive. Degenerate m-gons
+    (few distinct extremes, collinear clusters) mask their zero-length
+    edges, the strict-inside test then fails for every point, and nothing
+    is pruned -- sound, never wrong, possibly slow. ``overflow`` counts
+    survivors beyond cap_out (a DROPPED survivor can lose a hull vertex:
+    callers treat nonzero like any other capacity overflow).
+
+    Returns (packed_pts [cap_out, 2], packed_valid [cap_out], overflow).
+    """
+    cap = pts.shape[0]
+    th = _np.linspace(0, 2 * _np.pi, m, endpoint=False)
+    dirs = jnp.asarray(_np.stack([_np.cos(th), _np.sin(th)]), pts.dtype)
+    # HIGHEST: the TPU default bf16-truncates matmul inputs (~2e-3 ulp at
+    # coords ~0.5), which scrambles the argmax among points spread 1e-3
+    # apart -- the resulting "extremes" polygon missed most of the cloud
+    # and the prune kept ~70% of points (first probe_shapes_r05 attempt)
+    proj = jnp.where(valid[:, None],
+                     jnp.matmul(pts, dirs,
+                                precision=jax.lax.Precision.HIGHEST),
+                     -BIG)                                  # [cap, m]
+    ext = jnp.argmax(proj, axis=0)                          # [m]
+    gx = pts[ext, 0]
+    gy = pts[ext, 1]
+    nxt = (jnp.arange(m) + 1) % m
+    ex = gx[nxt] - gx
+    ey = gy[nxt] - gy
+    edge_ok = (ex * ex + ey * ey) > 0
+    # extremes ordered by direction angle are in CCW convex position:
+    # strictly inside <=> cross > 0 for every nonzero edge
+    cross = (ex[None, :] * (pts[:, 1:2] - gy[None, :])
+             - ey[None, :] * (pts[:, 0:1] - gx[None, :]))   # [cap, m]
+    inside = jnp.all((cross > 0) | ~edge_ok[None, :], axis=1) & jnp.any(
+        edge_ok)
+    keep = valid & ~inside
+    # pack by rank-compare one-hot matmul: per-row argsort/top_k packs
+    # serialize on TPU (the first probe spent ~13 ms in the pack alone);
+    # cumsum rank + a [cap_out, cap] one-hot ride the scan unit + MXU
+    # instead. Exactly one nonzero per kept output row => f32 products
+    # are the original coordinates (same trick as fusion.apply_block_gid)
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1           # [cap]
+    total = jnp.sum(keep, dtype=jnp.int32)
+    oh = (keep[:, None]
+          & (rank[:, None] == jnp.arange(cap_out)[None, :]))  # [cap, out]
+    out = jax.lax.dot_general(
+        oh.astype(pts.dtype), pts, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)                # [cap_out, 2]
+    sel = jnp.arange(cap_out) < total
+    out = jnp.where(sel[:, None], out, jnp.asarray(BIG, pts.dtype))
+    overflow = jnp.maximum(total - cap_out, 0)
+    return out, sel, overflow
+
+
+_PAIRS4 = _np.asarray([(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)],
+                      _np.int32)
+_TRIPS4 = _np.asarray([(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)],
+                      _np.int32)
+
+
+def _mec_of_4(sx, sy, sv):
+    """Exact MEC of <= 4 masked points: brute over the 6 pairs + 4 triples
+    with containment over the (valid) 4, pair winning exact ties like
+    min_enclosing_circle. Returns (cx, cy, r2, on bool[4] -- the winner's
+    defining slots)."""
+    pi, pj = _PAIRS4[:, 0], _PAIRS4[:, 1]
+    cx2 = (sx[pi] + sx[pj]) / 2
+    cy2 = (sy[pi] + sy[pj]) / 2
+    r2_2 = (cx2 - sx[pi]) ** 2 + (cy2 - sy[pi]) ** 2
+    ar4 = jnp.arange(4)
+    pskip = (ar4[None, :] == pi[:, None]) | (ar4[None, :] == pj[:, None])
+
+    def encl(cx, cy, r2, skip):
+        d2 = (cx[:, None] - sx[None, :]) ** 2 + (
+            cy[:, None] - sy[None, :]) ** 2
+        return jnp.all((d2 <= r2[:, None]) | ~sv[None, :] | skip, axis=1)
+
+    p_ok = sv[pi] & sv[pj] & encl(cx2, cy2, r2_2, pskip)
+    pr2 = jnp.where(p_ok, r2_2, BIG)
+    bp = jnp.argmin(pr2)
+    best_pair = pr2[bp]
+
+    ta, tb, tc = _TRIPS4[:, 0], _TRIPS4[:, 1], _TRIPS4[:, 2]
+    pts4 = jnp.stack([sx, sy], axis=-1)
+    cx3, cy3, r2_3 = _circumcircle(pts4[ta], pts4[tb], pts4[tc])
+    r2_3 = jnp.where(jnp.isfinite(r2_3), r2_3, BIG)
+    tskip = ((ar4[None, :] == ta[:, None]) | (ar4[None, :] == tb[:, None])
+             | (ar4[None, :] == tc[:, None]))
+    t_ok = sv[ta] & sv[tb] & sv[tc] & encl(cx3, cy3, r2_3, tskip)
+    tr2 = jnp.where(t_ok, r2_3, BIG)
+    bt = jnp.argmin(tr2)
+    best_trip = tr2[bt]
+
+    use_t = best_trip < best_pair
+    cx = jnp.where(use_t, cx3[bt], cx2[bp])
+    cy = jnp.where(use_t, cy3[bt], cy2[bp])
+    r2 = jnp.where(use_t, best_trip, best_pair)
+    on = jnp.where(use_t, tskip[bt], pskip[bp]) & sv
+    return cx, cy, r2, on
+
+
+def min_enclosing_circle_eh(hull_pts, hull_valid, max_rounds: int = None):
+    """Minimal enclosing circle by Elzinga-Hearn support iteration.
+
+    Keep a support set of <= 4 points, solve ITS MEC in closed form
+    (_mec_of_4), prune to the defining points, and add the farthest point
+    strictly outside; terminate when no point lies outside -- then the
+    circle encloses everything while being the MEC of a subset, hence THE
+    unique MEC. Exact in f64 (tests); expected rounds ~= support changes.
+
+    PROBED AND REJECTED for the production shapes stage
+    (probe_shapes_r05, v5e, bench shape [2048, 32] hulls): 12.69 ms vs
+    3.71 ms for the triple scan, AND up to 21% radius error in f32 --
+    blob hulls are NEAR-COCIRCULAR, E-H's worst case: many points sit
+    within f32 rounding of the circle, the per-round radius increase
+    drops below ULP, the support cycles, and the vmapped while_loop both
+    runs to the worst lane's round cap (slow) and exits unconverged with
+    a non-enclosing circle (wrong). The C(h,3) scan has neither failure
+    mode. Kept for f64 host-side use and as measurement evidence
+    (VERDICT r4 next item 3: probe Welzl-style MEC, keep the honest
+    outcome if it loses).
+    """
+    h = hull_pts.shape[0]
+    if max_rounds is None:
+        max_rounds = h
+    px = jnp.where(hull_valid, hull_pts[:, 0], BIG)
+    py = jnp.where(hull_valid, hull_pts[:, 1], BIG)
+    n_valid = jnp.sum(hull_valid, dtype=jnp.int32)
+    ar = jnp.arange(h)
+
+    # init support: first valid point + the farthest valid point from it
+    i0 = jnp.argmax(hull_valid).astype(jnp.int32)
+    d0 = jnp.where(hull_valid, (px - px[i0]) ** 2 + (py - py[i0]) ** 2,
+                   -1.0)
+    i1 = jnp.argmax(d0).astype(jnp.int32)
+    s_idx0 = jnp.stack([i0, i1, i0, i0])
+    s_val0 = jnp.asarray([True, True, False, False])
+
+    def body(state):
+        s_idx, s_val, _, _, _, _, it = state
+        cx, cy, r2, on = _mec_of_4(px[s_idx], py[s_idx], s_val)
+        s_val = s_val & on
+        is_sup = jnp.any(
+            (ar[:, None] == s_idx[None, :]) & s_val[None, :], axis=1)
+        d2 = jnp.where(hull_valid & ~is_sup,
+                       (cx - px) ** 2 + (cy - py) ** 2, -1.0)
+        f = jnp.argmax(d2).astype(jnp.int32)
+        outside = d2[f] > r2
+        free = jnp.argmin(s_val)          # first pruned slot (<= 3 on)
+        s_idx = s_idx.at[free].set(jnp.where(outside, f, s_idx[free]))
+        s_val = s_val.at[free].set(s_val[free] | outside)
+        return s_idx, s_val, cx, cy, r2, ~outside, it + 1
+
+    st = body((s_idx0, s_val0, px[0], py[0], jnp.asarray(0.0, px.dtype),
+               jnp.array(False), jnp.int32(0)))
+    *_, cx, cy, r2, done, _ = jax.lax.while_loop(
+        lambda s: (~s[5]) & (s[6] < max_rounds), body, st)
+
+    none = n_valid < 2
+    radius = jnp.where(none, 0.0, jnp.sqrt(jnp.maximum(r2, 0.0)))
+    bcx = jnp.where(none, hull_pts[0, 0], cx)
+    bcy = jnp.where(none, hull_pts[0, 1], cy)
+    return bcx, bcy, radius
+
+
 def min_area_rect(hull_pts, hull_valid):
     """Smallest enclosing rectangle side lengths (len0 >= len1) + area.
 
@@ -360,8 +540,12 @@ def min_area_rect(hull_pts, hull_valid):
     edge_ok = hull_valid & (elen > 0)
     u = e / jnp.maximum(elen, 1e-30)[:, None]
     v = jnp.stack([-u[:, 1], u[:, 0]], axis=-1)
-    pu = hull_pts @ u.T  # [h_pts proj, h_edges] -> careful: [h,2]@[2,h]
-    pv = hull_pts @ v.T
+    # HIGHEST: the TPU default bf16-truncates matmul inputs; projections
+    # of coords ~0.5 would carry ~2e-3 noise into the extents
+    pu = jnp.matmul(hull_pts, u.T,
+                    precision=jax.lax.Precision.HIGHEST)
+    pv = jnp.matmul(hull_pts, v.T,
+                    precision=jax.lax.Precision.HIGHEST)
     mask = hull_valid[:, None]
     ext_u = jnp.max(jnp.where(mask, pu, -BIG), axis=0) - jnp.min(
         jnp.where(mask, pu, BIG), axis=0
@@ -385,10 +569,12 @@ def min_area_rect(hull_pts, hull_valid):
 
 @partial(jax.jit,
          static_argnames=("max_hull", "min_points", "chunk_k", "hull",
-                          "tri_chunk"))
+                          "tri_chunk", "mec", "prune_cap", "backend"))
 def cluster_shapes(points, valid, counts, max_hull: int = 64,
                    min_points: int = 4, chunk_k: int = 256,
-                   hull: str = "wrap", tri_chunk: int = 512):
+                   hull: str = "wrap", tri_chunk: int = 512,
+                   mec: str = "scan", prune_cap: int = 0,
+                   backend: str = "auto"):
     """Hull + MEC + min-rect for a batch of padded clusters.
 
     points: [K, cap, 2]; valid: [K, cap]; counts: [K] true point counts.
@@ -415,13 +601,35 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
 
     Returns dict of [K]-shaped circle centers/radii and rect side lengths.
     """
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "jnp"
+    if (backend == "pallas" and hull == "wrap" and mec == "scan"
+            and not prune_cap):
+        # fused VMEM kernel: hull sweep + MEC + rect on resident data --
+        # the XLA pipeline re-reads [K, cap] from HBM every hull step
+        # (probe_shapes_r05: 2.1 vs 10.6 ms at the bench shape)
+        from .pallas.shapes_kernel import cluster_shapes_pallas
+
+        return cluster_shapes_pallas(points, valid, counts, max_hull,
+                                     min_points)
+
     hull_fn = {"wrap": convex_hull, "quick": convex_hull_quick}[hull]
 
     def one(p, v):
+        if prune_cap:
+            p, v, povf = hull_prune_pack(p, v, prune_cap)
+        else:
+            povf = jnp.int32(0)
         hp, hv = hull_fn(p, v, max_hull)
-        cx, cy, r = min_enclosing_circle(hp, hv, tri_chunk)
+        if mec == "eh":
+            # probed and REJECTED as the default: slower than the scan
+            # AND f32-fragile on near-cocircular hulls (see
+            # min_enclosing_circle_eh docstring / probe_shapes_r05)
+            cx, cy, r = min_enclosing_circle_eh(hp, hv)
+        else:
+            cx, cy, r = min_enclosing_circle(hp, hv, tri_chunk)
         l0, l1, area = min_area_rect(hp, hv)
-        return cx, cy, r, l0, l1, area
+        return cx, cy, r, l0, l1, area, povf
 
     k = points.shape[0]
     pad = (-k) % min(chunk_k, k)
@@ -433,10 +641,12 @@ def cluster_shapes(points, valid, counts, max_hull: int = 64,
         (pp.reshape(-1, ck, *points.shape[1:]),
          vp.reshape(-1, ck, valid.shape[1])),
     )
-    cx, cy, r, l0, l1, area = [o.reshape(-1)[:k] for o in outs]
+    cx, cy, r, l0, l1, area = [o.reshape(-1)[:k] for o in outs[:6]]
+    prune_ovf = jnp.sum(outs[6].reshape(-1)[:k])
     skip = counts < min_points
     zero = jnp.zeros_like(r)
     return {
+        "prune_overflow": prune_ovf,
         "center_x": cx,
         "center_y": cy,
         "radius": jnp.where(skip, zero, r),
