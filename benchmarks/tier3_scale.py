@@ -27,16 +27,43 @@ EPS = 0.004
 MIN_PTS = 8
 PTS_PER_CLUSTER = 800
 NOISE_FRAC = 0.004
-NOISE_CAP = 65536
+NOISE_CAP = int(os.environ.get("BENCH_NOISE_CAP", 65536))
 NOISE_CELL_CAP = 64
 # headroom over the MEASURED n_total (10463 at this cloud: cross-block
 # split pieces 4..cap survive as distinct ids, same semantics as the
 # bench) -- ids past the table size would silently lose stats/shapes rows
-MAX_CLUSTERS = 12288
-CLUSTER_CAP = 1024
+MAX_CLUSTERS = int(os.environ.get("BENCH_MAX_CLUSTERS", 12288))
+CLUSTER_CAP = int(os.environ.get("BENCH_CLUSTER_CAP", 1024))
 MAX_HULL = 32
 N_TRUTH = 5120
 SHAPE_CHUNK_K = 4096
+# "parity"     = reference semantics: cross-block split pieces keep
+#                distinct ids (FrmMain.cs:1432-1544 behavior);
+# "principled" = + the reference's own centroid-distance fusion (C11,
+#                Tools.cs:580-621, merge_eps=eps, minPts=2): split pieces
+#                of one physical cluster have centroids within the
+#                cluster extent << eps, so they collapse and n_clusters
+#                lands at k_true with one ICP centroid per cluster
+#                (VERDICT r4 weak item 1 / next item 2).
+# "principled_halo" = + the point-level halo union instead. MEASURED
+#                WRONG TOOL for this cloud and kept as evidence: the
+#                fixture's clusters are SMALLER than eps (sigma=8e-4 vs
+#                eps=4e-3), so the eps-cell boundary test flags most of a
+#                split cluster as shell (147,742 halo overflow at 200k
+#                pts with halo_cap=128), an eps-cell holds ~700 points
+#                (>> any cell_cap -> grid union truncates), and the wall
+#                was 3.58 s vs 0.33 s parity at 200k. Below the
+#                cluster-extent ~ eps regime the centroid merge is the
+#                exact, O(K^2), reference-native fix; the halo union is
+#                the right tool when clusters SPAN blocks (tested at
+#                scale in the sharded tier-5 path).
+MODE = os.environ.get("BENCH_MODE", "parity")
+HALO_CAP = int(os.environ.get("BENCH_HALO_CAP", 128))
+HALO_CELL_CAP = int(os.environ.get("BENCH_HALO_CELL_CAP", 64))
+# "cluster" stops after partition+DBSCAN+fusion (the tier-5 single-chip
+# clustering record path at BENCH_N=50M); "full" adds stats, shapes x2,
+# and ICP-to-truth
+STAGE = os.environ.get("BENCH_STAGE", "full")    # full | cluster
 
 
 def emit(**kw):
@@ -56,8 +83,9 @@ def cloud(n, seed=3):
     parts.append(rng.uniform(0, 1, size=(n_noise, 2)))
     motor = np.concatenate(parts)[:n].astype(np.float32)
     xyz = np.concatenate([motor, np.ones((n, 1), np.float32)], axis=1)
+    nt = min(N_TRUTH, k)
     truth = np.concatenate(
-        [centers[:N_TRUTH], np.ones((N_TRUTH, 1))], axis=1
+        [centers[:nt], np.ones((nt, 1))], axis=1
     ).astype(np.float32)
     return motor, xyz, truth, k
 
@@ -103,6 +131,39 @@ def main():
                              noise_engine="auto",
                              noise_cell_cap=NOISE_CELL_CAP)
         label = fused["label"]
+        n_total = fused["n_total"]
+        halo_ovf = jnp.int32(0)
+        if MODE == "principled":
+            # C11 centroid-distance fusion at merge_eps=eps collapses the
+            # cross-block split pieces (see MODE note above)
+            from vtkcloudpoint_tpu.cluster.fusion import (
+                merge_centroid_clusters,
+            )
+
+            st0 = cluster_stats(xyz, motor, label, valid, MAX_CLUSTERS)
+            mg = merge_centroid_clusters(
+                st0["center2d"], st0["count"] > 0, EPS, 2)
+            label = mg["remap"][jnp.clip(label, 0, MAX_CLUSTERS - 1)]
+            n_total = mg["n_after"]
+        elif MODE == "principled_halo":
+            from vtkcloudpoint_tpu.cluster.halo_fusion import (
+                apply_halo_merge, grid_union_ids, halo_buffers,
+            )
+
+            # block-level GLOBAL labels for the boundary shells
+            blab = label[jnp.where(pidx >= 0, pidx, 0)] * (pidx >= 0)
+            hx, hlab, hval, hov = halo_buffers(
+                bc, bv, blab, db["core"], EPS, HALO_CAP)
+            max_ids = MAX_CLUSTERS + 1
+            uni = grid_union_ids(hx, hlab, hval, n_total, EPS,
+                                 "l1_motor", max_ids,
+                                 cell_cap=HALO_CELL_CAP)
+            label = apply_halo_merge(label, uni["remap"])
+            n_total = uni["n_after"]
+            halo_ovf = hov + uni["overflow"]
+        if STAGE == "cluster":
+            return (label, n_total, fused["noise_overflow"], gath_ovf[0],
+                    halo_ovf)
         stats = cluster_stats(xyz, motor, label, valid, MAX_CLUSTERS)
         pay = (xyz[:, 0], xyz[:, 1], motor[:, 0], motor[:, 1])
         tabs, tval, runs, bovf = bucket_payload_by_cluster(
@@ -119,9 +180,9 @@ def main():
                   backend=backend)
         # bucket overflow excludes row 0: the noise bucket always exceeds
         # cluster capacity and has no shape anyway
-        return (label, fused["n_total"], fused["noise_overflow"],
+        return (label, n_total, fused["noise_overflow"],
                 gath_ovf[0], jnp.sum(bovf[1:]), sh["radius"][:MAX_CLUSTERS],
-                res.error, res.iterations)
+                res.error, res.iterations, halo_ovf)
 
     fn = jax.jit(step)
     args = (jnp.asarray(motor), jnp.asarray(xyz), jnp.ones(n, bool),
@@ -142,14 +203,21 @@ def main():
         out = run_sync()
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    emit(metric="tier3_5m_clustering",
-         points=n, wall_ms=round(dt * 1e3, 1),
-         points_per_sec=round(n / dt, 1),
-         n_clusters=int(out[1]), k_true=k_true,
-         noise_overflow=int(out[2]), gather_overflow=int(out[3]),
-         bucket_overflow_pts=int(out[4]),
-         icp_error=round(float(out[6]), 5), icp_iters=int(out[7]),
-         backend=backend)
+    rec = dict(metric="tier3_5m_clustering" if n == 5_000_000
+               else f"tier_scale_clustering_{n}",
+               mode=MODE, stage=STAGE,
+               points=n, wall_ms=round(dt * 1e3, 1),
+               points_per_sec=round(n / dt, 1),
+               n_clusters=int(out[1]), k_true=k_true,
+               noise_overflow=int(out[2]), gather_overflow=int(out[3]),
+               backend=backend)
+    if MODE == "principled_halo":
+        rec["halo_overflow"] = int(out[-1])
+    if STAGE == "full":
+        rec.update(bucket_overflow_pts=int(out[4]),
+                   icp_error=round(float(out[6]), 5),
+                   icp_iters=int(out[7]))
+    emit(**rec)
 
 
 if __name__ == "__main__":
