@@ -283,7 +283,11 @@ def cluster_shapes_pallas(points, valid, counts, max_hull: int = 32,
 
     K, cap, _ = points.shape
     h = max_hull
-    g = min(group, K)
+    # VMEM budget: the hull loop keeps ~10 [G, cap] f32 arrays live plus
+    # the one-hot tables; G x cap <= 2^17 keeps the 16 MB limit with
+    # headroom (G=32 at the cap=1024 bench shape; halves per cap doubling
+    # -- cap=8192 at G=32 measured 17.5 MB and OOM'd scoped vmem)
+    g = max(8, min(group, 2**17 // cap, K))
 
     tri = _triple_table(h)
     t_len = tri.shape[0]
