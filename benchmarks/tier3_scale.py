@@ -35,7 +35,7 @@ NOISE_CELL_CAP = 64
 MAX_CLUSTERS = int(os.environ.get("BENCH_MAX_CLUSTERS", 12288))
 CLUSTER_CAP = int(os.environ.get("BENCH_CLUSTER_CAP", 1024))
 MAX_HULL = 32
-N_TRUTH = 5120
+N_TRUTH = int(os.environ.get("BENCH_N_TRUTH", 5120))
 SHAPE_CHUNK_K = 4096
 # "parity"     = reference semantics: cross-block split pieces keep
 #                distinct ids (FrmMain.cs:1432-1544 behavior);
