@@ -269,9 +269,14 @@ def tpu_pipeline():
             mem_stages_gb_per_s=round(
                 mem_bytes / max(mem_ms, 1e-3) / 1e6, 1),
             hbm_peak_gb_per_s=819,
-            icp_pct_of_mxu_f32_bound=round(
-                100 * icp_flops
-                / (max(times["icp"], 1e-3) * 1e-3) / V5E_MXU_F32, 2),
+            # the (T_k - T_1)/(k-1) differencing floor is ~0.05 ms under
+            # host jitter; a sub-floor stage time would print a fictional
+            # >100% utilization, so report null instead of a fake number
+            icp_pct_of_mxu_f32_bound=(
+                round(100 * icp_flops
+                      / (times["icp"] * 1e-3) / V5E_MXU_F32, 2)
+                if times["icp"] >= 0.05 else None),
+            icp_below_timing_floor=times["icp"] < 0.05,
         )
         return times
 
