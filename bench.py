@@ -42,13 +42,18 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_POINTS = 500_000
-BLOCK_CAP = 1024
+# per-block DBSCAN work is O(N * cap): cap=512 halves the pair tests of
+# cap=1024 and unlocks the grouped kernel (probe_dbscan_r05), at the
+# price of more cross-block split pieces for fusion to renumber. The
+# default stays 1024 -- the round-over-round comparison basis and the
+# tier-3/tier-5 record config; BENCH_BLOCK_CAP measures other points.
+BLOCK_CAP = int(os.environ.get("BENCH_BLOCK_CAP", 1024))
 EPS = 0.004
 MIN_PTS = 8
 NOISE_CAP = 4096
 N_TRUTH = 512
-MAX_CLUSTERS = 1024
-CLUSTER_CAP = 1024
+MAX_CLUSTERS = int(os.environ.get("BENCH_MAX_CLUSTERS", 1024))
+CLUSTER_CAP = int(os.environ.get("BENCH_CLUSTER_CAP", 1024))
 MAX_HULL = 32
 # Per-stage roofline bases, each stage in its OWN currency (VERDICT r4
 # weak 5: a VPU-bound pipeline measured against the MXU bf16 peak reads

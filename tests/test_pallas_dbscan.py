@@ -28,6 +28,32 @@ def test_kernel_matches_dense(seed):
                                   np.asarray(out_d["n_clusters"]))
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_batched_kernel_matches_one_block(group):
+    """Grouped kernel (G blocks/grid step) is bit-equal to one-block,
+    including the pad-to-multiple-of-G path (B=5 with G=2/4 pads 1/3
+    empty blocks)."""
+    from vtkcloudpoint_tpu.ops.pallas.dbscan_kernel import (
+        dbscan_blocks_pallas_batched)
+
+    rng = np.random.default_rng(11)
+    B, cap = 5, 128
+    coords = np.zeros((B, cap, 2), np.float32)
+    valid = np.zeros((B, cap), bool)
+    for b in range(B):
+        pts = make_blobs(rng, n_clusters=3, pts_per=25, noise=15,
+                         spread=0.012).astype(np.float32)
+        coords[b, :len(pts)] = pts
+        valid[b, :len(pts)] = True
+    out_1 = dbscan_blocks_pallas(jnp.asarray(coords), jnp.asarray(valid),
+                                 0.06, 9)
+    out_g = dbscan_blocks_pallas_batched(
+        jnp.asarray(coords), jnp.asarray(valid), 0.06, 9, group=group)
+    for k in ("label", "n_clusters", "core"):
+        np.testing.assert_array_equal(np.asarray(out_g[k]),
+                                      np.asarray(out_1[k]))
+
+
 def test_kernel_l2_metric(rng):
     B, cap = 2, 128
     coords = np.zeros((B, cap, 2), np.float32)

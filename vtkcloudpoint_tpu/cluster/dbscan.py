@@ -263,6 +263,22 @@ def dbscan_blocks_dispatch(
     kernel (ops.pallas.dbscan_kernel), which is bit-equal by test.
     """
     if resolve_backend(backend) == "pallas":
+        cap = coords.shape[1]
+        if cap <= 512:
+            from ..ops.pallas.dbscan_kernel import (
+                dbscan_blocks_pallas_batched)
+
+            # 8 blocks per grid step amortizes the ~1.3 us fixed
+            # per-step cost (probe_dbscan_r05: 6.3 -> 5.2 ms at 977
+            # cap-512 blocks; G=16/32 measured no further gain);
+            # bit-equal to the one-block kernel by construction and by
+            # test. At cap >= 1024 a member's ~3 [cap, cap] f32 arrays
+            # are ~12 MB and even G=2 fails Mosaic's 16 MB VMEM scope
+            # (measured: compile-helper exit 1) -- and with 4x the work
+            # per step the fixed cost is already amortized, so the
+            # one-block kernel serves large caps.
+            return dbscan_blocks_pallas_batched(coords, valid, eps,
+                                                min_pts, metric, group=8)
         from ..ops.pallas.dbscan_kernel import dbscan_blocks_pallas
 
         return dbscan_blocks_pallas(coords, valid, eps, min_pts, metric)

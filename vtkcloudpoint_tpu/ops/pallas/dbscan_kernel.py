@@ -43,37 +43,36 @@ def _t(x):
     return jnp.swapaxes(x, 0, 1)
 
 
-def _adjacency(coords_ref, *, eps, metric, nd, cap):
-    """[cap, cap] f32 eps-adjacency (1.0/0.0) for the block, valid-agnostic."""
+def _one_block(coords_rows, v_row, *, eps, min_pts, metric, nd, cap):
+    """Full DBSCAN for one block from in-VMEM values.
+
+    coords_rows: list of nd [1, cap] f32 coordinate rows; v_row: [1, cap]
+    f32 0/1 validity.  Returns (label [1, cap] f32, core [1, cap] f32,
+    n_clusters scalar f32).  Factored out so the grouped kernel
+    (dbscan_blocks_pallas_batched) can unroll it per group member.
+    """
+    iota_col = jax.lax.broadcasted_iota(
+        jnp.int32, (cap, 1), 0).astype(jnp.float32)
+
+    v_col = _t(v_row)
     d = jnp.zeros((cap, cap), jnp.float32)
     if metric == "l1_motor":
         for k in range(nd):
-            row = coords_ref[0, k:k + 1, :]                # [1, cap]
+            row = coords_rows[k]                       # [1, cap]
             d = d + jnp.abs(_t(row) - row)
         thr = eps
     elif metric == "signed_sum_xy":
         for k in range(nd):
-            row = coords_ref[0, k:k + 1, :]
+            row = coords_rows[k]
             d = d + (_t(row) - row)
         thr = eps
     else:  # l2: squared distance vs eps^2 (exact, no sqrt)
         for k in range(nd):
-            row = coords_ref[0, k:k + 1, :]
+            row = coords_rows[k]
             diff = _t(row) - row
             d = d + diff * diff
         thr = eps * eps
-    return (d <= thr).astype(jnp.float32)
-
-
-def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
-                   *, eps, min_pts, metric, nd, cap):
-    iota_col = jax.lax.broadcasted_iota(
-        jnp.int32, (cap, 1), 0).astype(jnp.float32)
-
-    v_row = valid_ref[0, 0:1, :]                       # [1, cap] f32 0/1
-    v_col = _t(v_row)
-    adj = _adjacency(coords_ref, eps=eps, metric=metric, nd=nd,
-                     cap=cap) * v_col * v_row          # [cap, cap] f32 0/1
+    adj = (d <= thr).astype(jnp.float32) * v_col * v_row
 
     counts = jnp.sum(adj, axis=1, keepdims=True)       # [cap, 1] f32 exact
     core_col = jnp.where((counts >= min_pts) & (v_col > 0.0), 1.0, 0.0)
@@ -90,11 +89,6 @@ def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
     mask_add = jnp.where((adj * core_row) > 0.0, 0.0, jnp.float32(2 * cap))
 
     def sweep(lab):
-        # min over core neighbors' labels; self included (adj diagonal is 1
-        # for valid points), so the running min never loses its own label.
-        # Pure VPU min-sweeps, O(core-graph diameter) iterations: a
-        # pointer-jumping variant (per-sweep one-hot MXU gather) was probed
-        # and stalled Mosaic's compile at cap=1024 -- not worth it.
         nbr = _t(lab) + mask_add
         new = jnp.min(nbr, axis=1, keepdims=True)
         return jnp.where(core_col > 0.0, jnp.minimum(lab, new), inf)
@@ -133,9 +127,39 @@ def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
     border_id = jnp.max(border_src, axis=1, keepdims=True)
     label = jnp.where(core_col > 0.0, core_id,
                       jnp.where(v_col > 0.0, border_id, 0.0))
-    label_ref[0, 0, :] = _t(label)[0, :].astype(jnp.int32)
+    return _t(label), core_row, jnp.sum(is_root)
+
+
+def _dbscan_kernel(coords_ref, valid_ref, label_ref, nclus_ref, core_ref,
+                   *, eps, min_pts, metric, nd, cap):
+    rows = [coords_ref[0, k:k + 1, :] for k in range(nd)]
+    v_row = valid_ref[0, 0:1, :]                       # [1, cap] f32 0/1
+    label, core_row, n = _one_block(rows, v_row, eps=eps, min_pts=min_pts,
+                                    metric=metric, nd=nd, cap=cap)
+    label_ref[0, 0, :] = label[0, :].astype(jnp.int32)
     core_ref[0, 0, :] = core_row[0, :].astype(jnp.int32)
-    nclus_ref[0, 0, 0] = jnp.sum(is_root).astype(jnp.int32)
+    nclus_ref[0, 0, 0] = n.astype(jnp.int32)
+
+
+def _dbscan_kernel_grouped(coords_ref, valid_ref, label_ref, nclus_ref,
+                           core_ref, *, eps, min_pts, metric, nd, cap,
+                           group):
+    """G complete per-block solves per grid step (statically unrolled).
+
+    Same per-member code as the one-block kernel -- each member keeps its
+    own minimal while_loop trip count -- so labels are bit-equal by
+    construction; only the grid-step count (and its fixed per-step cost)
+    changes.
+    """
+    for g in range(group):
+        rows = [coords_ref[g, k:k + 1, :] for k in range(nd)]
+        v_row = valid_ref[g, 0:1, :]
+        label, core_row, n = _one_block(rows, v_row, eps=eps,
+                                        min_pts=min_pts, metric=metric,
+                                        nd=nd, cap=cap)
+        label_ref[g, 0, :] = label[0, :].astype(jnp.int32)
+        core_ref[g, 0, :] = core_row[0, :].astype(jnp.int32)
+        nclus_ref[g, 0, 0] = n.astype(jnp.int32)
 
 
 def dbscan_blocks_pallas(block_coords, block_valid, eps: float, min_pts: int,
@@ -185,4 +209,62 @@ def dbscan_blocks_pallas(block_coords, block_valid, eps: float, min_pts: int,
         "label": labels[:, 0, :],
         "n_clusters": nclus[:, 0, 0],
         "core": core[:, 0, :] != 0,
+    }
+
+
+def dbscan_blocks_pallas_batched(block_coords, block_valid, eps: float,
+                                 min_pts: int, metric: str = "l1_motor",
+                                 group: int = 4):
+    """Per-block DBSCAN, `group` blocks per grid step.
+
+    Bit-equal to dbscan_blocks_pallas (same unrolled per-member code);
+    amortizes the fixed per-grid-step cost over `group` blocks. B is
+    padded up to a multiple of `group` with empty blocks (all-invalid
+    rows produce label 0 / no clusters, discarded on slice-back).
+    VMEM bounds `group`: each member's solve keeps ~3 [cap, cap] f32
+    arrays live, but members run sequentially so residency stays
+    ~one member's set plus the group's [G, nd, cap] inputs.
+    """
+    B, cap, nd = block_coords.shape
+    Bp = -(-B // group) * group
+    if Bp != B:
+        block_coords = jnp.concatenate(
+            [block_coords,
+             jnp.zeros((Bp - B, cap, nd), block_coords.dtype)], axis=0)
+        block_valid = jnp.concatenate(
+            [block_valid, jnp.zeros((Bp - B, cap), block_valid.dtype)],
+            axis=0)
+    soa = jnp.swapaxes(block_coords.astype(jnp.float32), 1, 2)
+    vf = block_valid.astype(jnp.float32)[:, None, :]
+
+    labels, nclus, core = pl.pallas_call(
+        functools.partial(_dbscan_kernel_grouped, eps=float(eps),
+                          min_pts=float(min_pts), metric=metric,
+                          nd=nd, cap=cap, group=group),
+        grid=(Bp // group,),
+        in_specs=[
+            pl.BlockSpec((group, nd, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((group, 1, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((group, 1, cap), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, 1, cap), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Bp, 1, cap), jnp.int32),
+        ),
+        interpret=not _on_tpu(),
+    )(soa, vf)
+    return {
+        "label": labels[:B, 0, :],
+        "n_clusters": nclus[:B, 0, 0],
+        "core": core[:B, 0, :] != 0,
     }
