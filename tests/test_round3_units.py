@@ -24,6 +24,19 @@ def test_size_caps_formulas():
     assert caps["noise_capacity"] >= 2.0 * 0.004 * 1221 * 1024
 
 
+def test_size_caps_covers_measured_50m_skin():
+    """TIER5_r05 calibration: the 50M disk run (12,208 blocks x 512 per
+    device) needed ~267k skin slots; the old perimeter-only model capped
+    at 241,008 and dropped 25,790 points. The linear allowance must
+    cover the measured need without clamping to all device points."""
+    caps = ParallelConfig.size_caps(5.5e-4, 3e7, 512,
+                                    blocks_per_device=12208,
+                                    noise_frac=0.004, safety=2.0)
+    dev_pts = 12208 * 512
+    assert caps["dev_halo_cap"] >= 267_000
+    assert caps["dev_halo_cap"] < dev_pts          # not the clamp
+
+
 def test_size_caps_degenerate_clamps():
     # block side << eps: everything is shell -> cap at all points
     caps = ParallelConfig.size_caps(0.1, 1e6, 256, blocks_per_device=2)

@@ -143,8 +143,17 @@ class ParallelConfig:
         # the skin test flags points whose 3^D cell stencil touches another
         # device's occupied cells -- a band up to 2*eps wide on each side of
         # the boundary, and Morton device boundaries are not straight lines:
-        # budget 2x band x 2x perimeter over the naive eps-shell estimate
-        skin = 16.0 * eps * math.sqrt(dev_pts * density)
+        # budget 2x band x 2x perimeter over the naive eps-shell estimate,
+        # PLUS a linear allowance: the measured skin outgrows any
+        # perimeter ~ sqrt(dev_pts) model as the device footprint grows
+        # (Morton-range boundary roughness + two-hash occupancy-filter
+        # false positives both scale with the points, not the perimeter).
+        # Calibration: the 50M disk run needed ~267k skin slots at
+        # dev_pts=6.25M where the perimeter term alone estimated 120.5k
+        # (halo_overflow=25,790 at the old safety*sqrt cap, TIER5_r05);
+        # the 10M run's 107,792 cap held with this term absent, and the
+        # new bound only grows caps, never shrinks them.
+        skin = 16.0 * eps * math.sqrt(dev_pts * density) + 0.025 * dev_pts
         cell = density * eps * eps
         # eps-cell occupancy is ~Poisson(cell): cover a 6-sigma fluctuation
         # before the safety multiplier (a 10^5-cell run WILL sample the tail)
